@@ -1,0 +1,102 @@
+"""Typed configuration for the pipeline.
+
+Defaults mirror the reference `Config` dataclass (hockey/main.py:20-59) so a
+reference user gets identical behavior out of the box; TPU-specific knobs
+(batch size, dtype, padded capacities) are new and have no reference
+counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Tuple
+
+
+class ProcessingMode(str, enum.Enum):
+    """CLI processing modes (reference README.md:134-139; absent from the
+    reference snapshot's main.py, rebuilt from the documented spec)."""
+
+    PLAYER_DETECTION = "PLAYER_DETECTION"
+    PUCK_DETECTION = "PUCK_DETECTION"
+    PLAYER_TRACKING = "PLAYER_TRACKING"
+    TEAM_CLASSIFICATION = "TEAM_CLASSIFICATION"
+
+
+# Class ids (reference hockey/main.py:357-359).
+PLAYER_CLASS_ID = 0
+GOALKEEPER_CLASS_ID = 1
+# Team id assigned to goalies (reference hockey/main.py:284).
+GOALIE_TEAM_ID = 2
+
+
+@dataclasses.dataclass
+class Config:
+    """Pipeline configuration.
+
+    Reference-compatible fields keep the exact defaults of
+    hockey/main.py:20-59.
+    """
+
+    # --- Model identifiers (reference main.py:24-25 uses .pt paths; we use
+    # checkpoint directories / msgpack files produced by models.convert).
+    player_model_name: str = "hockey-player-detection"
+    hockey_model_name: str = "hockey-detection"
+    puck_model_name: str = "hockey-puck-detection"
+
+    # --- Detection (reference main.py:28-29).
+    detection_imgsz: int = 1280
+    detection_confidence: float = 0.4
+
+    # --- Tracking (reference main.py:32-36).
+    track_activation_threshold: float = 0.25
+    lost_track_buffer: int = 30
+    minimum_matching_threshold: float = 0.8
+    frame_rate: int = 30
+    minimum_consecutive_frames: int = 2
+
+    # --- Team classification sampling (reference main.py:39-41).
+    initialization_stride: int = 10
+    max_initialization_frames: int = 20
+    min_players_for_selection: int = 6
+
+    # --- Annotation smoothing (reference main.py:44-45).
+    smoothing_factor: float = 0.3
+    use_adaptive_smoothing: bool = True
+
+    # --- Visualization (reference main.py:48-51,59).
+    team_colors: Optional[List[str]] = None
+    annotation_thickness: int = 2
+    label_text_scale: float = 0.6
+    label_text_thickness: int = 2
+
+    # --- Rink keypoints (reference main.py:54-55).
+    keypoint_confidence_threshold: float = 0.3
+    keypoint_radius: int = 10
+
+    # --- Puck detection via SAHI-style slicing (reference README.md:44,
+    # CLAUDE.md:55 — documented spec only, no reference code).
+    puck_slice_size: int = 640
+    puck_slice_overlap: float = 0.2
+    puck_confidence: float = 0.25
+    puck_trail_length: int = 30
+
+    # --- TPU-native knobs (new; no reference counterpart).
+    frame_batch: int = 1               # frames per device step
+    max_detections: int = 64           # padded post-NMS capacity
+    nms_pre_topk: int = 256            # candidates entering NMS
+    nms_iou_threshold: float = 0.45    # ultralytics default
+    max_tracks: int = 128              # padded track-table capacity
+    compute_dtype: str = "bfloat16"
+
+    def __post_init__(self) -> None:
+        if self.team_colors is None:
+            # Team1, Team2, Goalies (reference main.py:59).
+            self.team_colors = ["#FF1493", "#00BFFF", "#FF6347"]
+
+
+def hex_to_bgr(hex_color: str) -> Tuple[int, int, int]:
+    """'#RRGGBB' -> (B, G, R) for OpenCV drawing."""
+    h = hex_color.lstrip("#")
+    r, g, b = int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16)
+    return (b, g, r)

@@ -1,0 +1,75 @@
+"""Fused batched letterbox + normalize.
+
+Replaces the host-side preprocessing the reference delegates to ultralytics
+(hockey/main.py:179-184 calls `model(frame, imgsz=1280, ...)`, which runs
+LetterBox on CPU per frame). Here the whole batch is resized, padded, and
+normalized in one XLA program on device: uint8 NHWC in HBM -> bf16 NHWC in
+[0, 1], aspect preserved, gray (114) padding, matching ultralytics'
+LetterBox(center=True, scaleup=True) geometry so box coordinates map back
+identically.
+
+All shapes are static: for a fixed (H, W) -> imgsz this compiles once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def letterbox_params(h: int, w: int, imgsz: int) -> Tuple[float, int, int, int, int]:
+    """Static geometry: scale ratio and padding of the letterboxed image.
+
+    Returns (ratio, new_h, new_w, pad_top, pad_left). Matches ultralytics
+    LetterBox: r = min(s/h, s/w); round(dim * r); symmetric padding with
+    the extra pixel going to bottom/right (round(x - 0.1) on each side).
+    """
+    r = min(imgsz / h, imgsz / w)
+    new_h, new_w = round(h * r), round(w * r)
+    dh, dw = (imgsz - new_h) / 2, (imgsz - new_w) / 2
+    pad_top, pad_left = int(round(dh - 0.1)), int(round(dw - 0.1))
+    return r, new_h, new_w, pad_top, pad_left
+
+
+@functools.partial(jax.jit, static_argnames=("imgsz", "dtype"))
+def letterbox_batch(
+    frames: jnp.ndarray, imgsz: int, dtype: jnp.dtype = jnp.bfloat16
+) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> (B, imgsz, imgsz, 3) `dtype` in [0, 1].
+
+    Bilinear resize (matches cv2.INTER_LINEAR used by ultralytics) fused
+    with the /255 normalize and pad. Runs entirely on device.
+    """
+    b, h, w, c = frames.shape
+    r, new_h, new_w, pad_top, pad_left = letterbox_params(h, w, imgsz)
+
+    x = frames.astype(jnp.float32)
+    x = jax.image.resize(x, (b, new_h, new_w, c), method="bilinear")
+    x = x * (1.0 / 255.0)
+    pad_bottom = imgsz - new_h - pad_top
+    pad_right = imgsz - new_w - pad_left
+    x = jnp.pad(
+        x,
+        ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right), (0, 0)),
+        constant_values=114.0 / 255.0,
+    )
+    return x.astype(dtype)
+
+
+def unletterbox_boxes(
+    boxes: jnp.ndarray, h: int, w: int, imgsz: int
+) -> jnp.ndarray:
+    """Map xyxy boxes from letterboxed coords back to original-frame coords.
+
+    Inverse of `letterbox_batch` geometry; mirrors ultralytics scale_boxes
+    (subtract pad, divide ratio, clip to frame).
+    """
+    r, _, _, pad_top, pad_left = letterbox_params(h, w, imgsz)
+    pad = jnp.asarray([pad_left, pad_top, pad_left, pad_top], boxes.dtype)
+    out = (boxes - pad) / r
+    lo = jnp.zeros((4,), out.dtype)
+    hi = jnp.asarray([w, h, w, h], out.dtype)
+    return jnp.clip(out, lo, hi)
