@@ -1,0 +1,77 @@
+"""Benchmark: end-to-end 1080p detection throughput per chip.
+
+Runs the flagship megastep (letterbox -> YOLOv8x @1280 -> DFL decode ->
+on-device NMS, the reference's runtime configuration: hockey/main.py:28-29)
+on synthetic 1080p frames and reports frames/sec/chip.
+
+Baseline derivation (vs_baseline): the reference publishes no end-to-end
+number (BASELINE.md). Its only measured datum is the detector at
+0.4 + 4.1 + 0.6 = 5.1 ms/frame at imgsz=640 on an RTX 4090
+(train_player_detection.ipynb cell 15 "Speed:" line). The runtime uses
+imgsz=1280 = 4x the pixels, so the comparable per-frame cost is
+~4 * 5.1 ms = 20.4 ms -> 49.0 fps. vs_baseline = our_fps / 49.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 1000.0 / (4 * (0.4 + 4.1 + 0.6))  # ≈ 49.0 (see docstring)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from hockey_tpu.core.config import Config
+    from hockey_tpu.models.detector import build_detect_fn
+    from hockey_tpu.models.layers import fuse_model
+    from hockey_tpu.models.yolov8 import MODEL_ZOO, init_params
+
+    config = Config()
+    cfg = MODEL_ZOO["hockey-player-detection"]
+    params = fuse_model(init_params(cfg, seed=0))
+
+    rng = np.random.default_rng(0)
+    best_fps = 0.0
+    for batch in (1, 8):
+        fn = build_detect_fn(
+            cfg,
+            imgsz=config.detection_imgsz,
+            frame_hw=(1080, 1920),
+            conf=config.detection_confidence,
+            iou=config.nms_iou_threshold,
+            pre_topk=config.nms_pre_topk,
+            max_det=config.max_detections,
+        )
+        frames = jnp.asarray(
+            rng.integers(0, 255, (batch, 1080, 1920, 3), dtype=np.uint8)
+        )
+        # warmup incl. compile; np.asarray forces real completion (the axon
+        # platform's block_until_ready returns early, and queuing multiple
+        # in-flight executions deadlocks the tunnel — so sync per call)
+        for _ in range(2):
+            _ = np.asarray(fn(params, frames).boxes)
+        n_iter = max(3, int(32 // batch))
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            _ = np.asarray(fn(params, frames).boxes)
+        dt = time.perf_counter() - t0
+        fps = batch * n_iter / dt
+        best_fps = max(best_fps, fps)
+
+    print(json.dumps({
+        "metric": "e2e_1080p_detect_fps_per_chip",
+        "value": round(best_fps, 2),
+        "unit": "frames/sec/chip (YOLOv8x @1280 incl. device NMS)",
+        "vs_baseline": round(best_fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Jersey-number OCR, persisted per tracker id.
+
+No reference code exists (documented in README.md:95-98 / CLAUDE.md:39,56 —
+SURVEY.md §0); spec from the docs: EasyOCR reads numbers from jersey
+crops, results are confidence-filtered and persisted per tracker ID so
+numbers survive frames where they are unreadable.
+
+easyocr is not installed in this environment; the reader degrades to a
+no-op that returns None for every track (the pipeline renders plain #id
+labels). When easyocr is importable it is used exactly as documented.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class JerseyNumberReader:
+    def __init__(self, min_confidence: float = 0.5, read_every_n: int = 10,
+                 min_crop_height: int = 60):
+        self.min_confidence = min_confidence
+        self.read_every_n = read_every_n
+        self.min_crop_height = min_crop_height
+        self.numbers: Dict[int, str] = {}
+        self.confidences: Dict[int, float] = defaultdict(float)
+        self._since_read: Dict[int, int] = defaultdict(lambda: 10 ** 9)
+        self._reader = None
+        self.available = False
+        try:
+            import easyocr  # optional dependency
+
+            self._reader = easyocr.Reader(["en"], gpu=False, verbose=False)
+            self.available = True
+        except Exception:
+            self._reader = None
+
+    # ------------------------------------------------------------------
+    def observe(self, frame: np.ndarray, boxes: np.ndarray,
+                tracker_ids: np.ndarray) -> None:
+        """Attempt OCR on due tracks' torso crops; keep the best-confidence
+        digits per tracker id."""
+        if not self.available:
+            return
+        h, w = frame.shape[:2]
+        for b, tid in zip(boxes, tracker_ids):
+            tid = int(tid)
+            self._since_read[tid] += 1
+            if self._since_read[tid] < self.read_every_n:
+                continue
+            y1, y2 = max(int(b[1]), 0), min(int(b[3]), h)
+            x1, x2 = max(int(b[0]), 0), min(int(b[2]), w)
+            if y2 - y1 < self.min_crop_height:
+                continue
+            # torso region where numbers live
+            ty1 = y1 + int((y2 - y1) * 0.2)
+            ty2 = y1 + int((y2 - y1) * 0.6)
+            crop = frame[ty1:ty2, x1:x2]
+            if crop.size == 0:
+                continue
+            self._since_read[tid] = 0
+            try:
+                results = self._reader.readtext(crop, allowlist="0123456789")
+            except Exception:
+                continue
+            for _, text, conf in results:
+                text = text.strip()
+                if (text.isdigit() and 1 <= len(text) <= 2
+                        and conf >= self.min_confidence
+                        and conf > self.confidences[tid]):
+                    self.numbers[tid] = text
+                    self.confidences[tid] = float(conf)
+
+    def get_number(self, tracker_id: int) -> Optional[str]:
+        return self.numbers.get(int(tracker_id))
+
+    def drop(self, tracker_id: int) -> None:
+        self.numbers.pop(int(tracker_id), None)
+        self.confidences.pop(int(tracker_id), None)

@@ -1,0 +1,180 @@
+"""Training data pipeline.
+
+The reference trains on a Roboflow YOLO-format dataset
+(notebooks/train_player_detection.ipynb cells 5-13: images/ + labels/
+with `class cx cy w h` normalized rows, classes remapped to
+{0: player, 1: goalie}). This loader consumes the same on-disk format;
+when no dataset is available (this environment has no network and ships
+no data), `SyntheticHockeyDataset` generates rink-like frames with
+player/goalie rectangles so the full train loop is exercisable end-to-end.
+
+Batches are fixed-shape: (B, S, S, 3) images + padded gt tables
+(B, M, 4 / B, M / B, M) — no recompilation across steps.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+MAX_GT = 64
+
+
+def load_yolo_labels(label_path: str, img_w: int, img_h: int) -> Tuple[np.ndarray, np.ndarray]:
+    """One YOLO label file -> (boxes xyxy px, classes)."""
+    boxes, classes = [], []
+    if os.path.exists(label_path):
+        with open(label_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 5:
+                    continue
+                c, cx, cy, w, h = int(parts[0]), *map(float, parts[1:5])
+                boxes.append([
+                    (cx - w / 2) * img_w, (cy - h / 2) * img_h,
+                    (cx + w / 2) * img_w, (cy + h / 2) * img_h,
+                ])
+                classes.append(c)
+    return (np.asarray(boxes, np.float32).reshape(-1, 4),
+            np.asarray(classes, np.int32))
+
+
+def pad_targets(boxes: np.ndarray, classes: np.ndarray,
+                max_gt: int = MAX_GT) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    n = min(len(boxes), max_gt)
+    b = np.zeros((max_gt, 4), np.float32)
+    c = np.zeros((max_gt,), np.int32)
+    m = np.zeros((max_gt,), bool)
+    b[:n] = boxes[:n]
+    c[:n] = classes[:n]
+    m[:n] = True
+    return b, c, m
+
+
+class YoloDataset:
+    """YOLO-format directory dataset (images/ + labels/ siblings)."""
+
+    def __init__(self, images_dir: str, labels_dir: Optional[str] = None,
+                 imgsz: int = 640, max_gt: int = MAX_GT):
+        import cv2  # noqa: F401
+
+        self.images_dir = images_dir
+        self.labels_dir = labels_dir or os.path.join(
+            os.path.dirname(images_dir.rstrip("/")), "labels")
+        self.imgsz = imgsz
+        self.max_gt = max_gt
+        exts = (".jpg", ".jpeg", ".png", ".bmp")
+        self.files: List[str] = sorted(
+            f for f in os.listdir(images_dir) if f.lower().endswith(exts))
+        if not self.files:
+            raise FileNotFoundError(f"no images in {images_dir}")
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def load(self, idx: int, hsv_jitter: Optional[np.random.Generator] = None,
+             flip: bool = False) -> Dict[str, np.ndarray]:
+        import cv2
+
+        from ..ops.letterbox import letterbox_params
+
+        name = self.files[idx]
+        img = cv2.imread(os.path.join(self.images_dir, name))
+        h, w = img.shape[:2]
+        boxes, classes = load_yolo_labels(
+            os.path.join(self.labels_dir, os.path.splitext(name)[0] + ".txt"), w, h)
+
+        # letterbox on host (training-side; inference letterboxes on device)
+        r, nh, nw, pt, pl = letterbox_params(h, w, self.imgsz)
+        img = cv2.resize(img, (nw, nh))
+        canvas = np.full((self.imgsz, self.imgsz, 3), 114, np.uint8)
+        canvas[pt: pt + nh, pl: pl + nw] = img
+        if len(boxes):
+            boxes = boxes * r + np.asarray([pl, pt, pl, pt], np.float32)
+
+        if flip:
+            canvas = canvas[:, ::-1]
+            if len(boxes):
+                x1 = self.imgsz - boxes[:, 2]
+                x2 = self.imgsz - boxes[:, 0]
+                boxes[:, 0], boxes[:, 2] = x1, x2
+        if hsv_jitter is not None:
+            canvas = hsv_augment(canvas, hsv_jitter)
+
+        b, c, m = pad_targets(boxes, classes, self.max_gt)
+        return {"images": canvas.astype(np.float32) / 255.0,
+                "boxes": b, "classes": c, "mask": m}
+
+
+def hsv_augment(img: np.ndarray, rng: np.random.Generator,
+                h_gain: float = 0.015, s_gain: float = 0.7,
+                v_gain: float = 0.4) -> np.ndarray:
+    """ultralytics-style random HSV gains (notebook cell 15: hsv_h/s/v)."""
+    import cv2
+
+    gains = rng.uniform(-1, 1, 3) * [h_gain, s_gain, v_gain] + 1
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV).astype(np.float32)
+    hsv[..., 0] = (hsv[..., 0] * gains[0]) % 180
+    hsv[..., 1] = np.clip(hsv[..., 1] * gains[1], 0, 255)
+    hsv[..., 2] = np.clip(hsv[..., 2] * gains[2], 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
+
+
+class SyntheticHockeyDataset:
+    """Procedural rink frames with player(0)/goalie(1) rectangles — stands
+    in for the Roboflow dataset when no data ships with the environment."""
+
+    def __init__(self, imgsz: int = 640, max_gt: int = MAX_GT, seed: int = 0):
+        self.imgsz = imgsz
+        self.max_gt = max_gt
+        self.seed = seed
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        s = self.imgsz
+        img = np.full((s, s, 3), 230, np.uint8)
+        img += rng.integers(-10, 10, img.shape, dtype=np.int16).astype(np.int8).view(np.uint8) // 8
+        n = int(rng.integers(3, 12))
+        boxes, classes = [], []
+        for j in range(n):
+            w = int(rng.integers(s // 24, s // 10))
+            h = int(w * rng.uniform(1.8, 2.6))
+            x = int(rng.integers(0, s - w))
+            y = int(rng.integers(0, s - h))
+            is_goalie = rng.uniform() < 0.12
+            if is_goalie:
+                color = (20, 180, 180)
+            else:
+                color = ((30, 30, 200) if rng.uniform() < 0.5 else (250, 250, 250))
+            cv2.rectangle(img, (x, y), (x + w, y + h), color, -1)
+            cv2.circle(img, (x + w // 2, y + h // 6), w // 4, (40, 30, 30), -1)
+            boxes.append([x, y, x + w, y + h])
+            classes.append(1 if is_goalie else 0)
+        b, c, m = pad_targets(np.asarray(boxes, np.float32),
+                              np.asarray(classes, np.int32), self.max_gt)
+        return {"images": img.astype(np.float32) / 255.0,
+                "boxes": b, "classes": c, "mask": m}
+
+    def __len__(self) -> int:
+        return 1 << 30
+
+
+def batch_iterator(dataset, batch_size: int, steps: int,
+                   seed: int = 0, augment: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    """Shuffled fixed-shape batches."""
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    for _ in range(steps):
+        idxs = rng.integers(0, n, batch_size)
+        items = []
+        for i in idxs:
+            if isinstance(dataset, YoloDataset) and augment:
+                items.append(dataset.load(int(i), hsv_jitter=rng,
+                                          flip=bool(rng.uniform() < 0.5)))
+            else:
+                items.append(dataset.load(int(i)))
+        yield {k: np.stack([it[k] for it in items]) for k in items[0]}

@@ -1,0 +1,109 @@
+"""Training loop CLI: `python -m hockey_tpu.train.loop`.
+
+TPU-native counterpart of the reference's `yolo task=detect mode=train`
+invocation (notebooks/train_player_detection.ipynb cell 15): cosine LR,
+HSV + flip augmentation, periodic checkpointing, optional (dp x fsdp)
+mesh sharding. Works against a YOLO-format dataset directory or the
+synthetic dataset when none is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Train a hockey_tpu YOLOv8 detector")
+    p.add_argument("--images", type=str, default=None,
+                   help="images/ dir of a YOLO-format dataset (labels/ sibling); "
+                        "omit to train on the synthetic dataset")
+    p.add_argument("--model", type=str, default="hockey-player-detection")
+    p.add_argument("--variant", type=str, default=None,
+                   help="override variant (n/s/m/l/x), e.g. n for smoke tests")
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--warmup", type=int, default=100)
+    p.add_argument("--out", type=str, default="checkpoints/model.msgpack")
+    p.add_argument("--save-every", type=int, default=500)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--dp", type=int, default=0, help="data-parallel ways (0 = all devices)")
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from ..models.checkpoint import save_params
+    from ..models.yolov8 import MODEL_ZOO, YoloConfig, init_params
+    from .data import SyntheticHockeyDataset, YoloDataset, batch_iterator
+    from .trainer import TrainConfig, make_optimizer, make_train_step
+
+    cfg = MODEL_ZOO[args.model]
+    if args.variant:
+        cfg = YoloConfig(args.variant, cfg.num_classes, cfg.num_keypoints)
+    tc = TrainConfig(imgsz=args.imgsz, learning_rate=args.lr,
+                     warmup_steps=args.warmup, total_steps=args.steps)
+    params = init_params(cfg, seed=args.seed)
+    opt = make_optimizer(tc)
+    opt_state = opt.init(params)
+    step_fn = make_train_step(cfg, tc, opt)
+
+    if args.images:
+        dataset = YoloDataset(args.images, imgsz=args.imgsz)
+        print(f"dataset: {len(dataset)} images from {args.images}")
+    else:
+        dataset = SyntheticHockeyDataset(imgsz=args.imgsz, seed=args.seed)
+        print("dataset: synthetic (no --images given)")
+
+    n_dev = len(jax.devices())
+    use_mesh = (args.dp or n_dev) * args.fsdp > 1 and n_dev > 1
+    if use_mesh:
+        from ..core.mesh import make_mesh
+        from ..parallel.sharding import jit_train_step, shard_batch, shard_params
+
+        dp = args.dp or (n_dev // args.fsdp)
+        mesh = make_mesh(dp * args.fsdp, dp=dp, fsdp=args.fsdp)
+        print(f"mesh: {dict(mesh.shape)}")
+        params = shard_params(mesh, params)
+    else:
+        mesh = None
+        step = jax.jit(step_fn)
+
+    t0 = time.time()
+    it = batch_iterator(dataset, args.batch, args.steps, seed=args.seed)
+    for i, batch in enumerate(it):
+        if mesh is not None:
+            from ..parallel.sharding import jit_train_step, shard_batch
+
+            batch = shard_batch(mesh, batch)
+            if i == 0:
+                with mesh:
+                    step = jit_train_step(step_fn, mesh, params, opt_state, batch)
+        if mesh is not None:
+            with mesh:
+                params, opt_state, m = step(params, opt_state, batch)
+        else:
+            params, opt_state, m = step(params, opt_state, batch)
+        if i % args.log_every == 0 or i == args.steps - 1:
+            loss = float(m["loss"])
+            print(f"step {i:6d} loss {loss:8.4f} box {float(m['box_loss']):.4f} "
+                  f"cls {float(m['cls_loss']):.4f} dfl {float(m['dfl_loss']):.4f} "
+                  f"fg {float(m['num_fg']):.0f} "
+                  f"({(time.time() - t0) / max(i, 1):.2f}s/step)")
+            if not np.isfinite(loss):
+                print("non-finite loss; aborting")
+                return 1
+        if args.save_every and i and i % args.save_every == 0:
+            save_params(args.out, params)
+    save_params(args.out, params)
+    print(f"saved {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,153 @@
+"""TPU training step for the YOLOv8 detectors.
+
+The reference trains offline via the ultralytics CLI on CUDA
+(notebooks/train_player_detection.ipynb cell 15: YOLOv8, imgsz 640,
+batch 16-32, cosine LR, early stopping). This is the TPU-native
+equivalent: one jitted train step — forward with batch-stat BN, TAL
+assignment, v8 loss, grads, optax update, BN running-stat EMA — sharded
+over a (dp, fsdp) `jax.sharding.Mesh` (see parallel/sharding.py).
+
+Under GSPMD, BatchNorm batch statistics are computed over the *global*
+(dp-sharded) batch automatically — the mean over a sharded axis lowers to
+a psum across the mesh, giving sync-BN for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import re
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.layers import StatsCollector
+from ..models.yolov8 import YoloConfig, forward_raw
+from .losses import detection_loss
+
+BN_MOMENTUM = 0.03  # ultralytics BatchNorm2d momentum
+
+
+# ---------------------------------------------------------------------------
+# BN running-stat plumbing: collected (path, mean, var) -> tree updates
+# ---------------------------------------------------------------------------
+
+_LIST_TOKEN = re.compile(r"^([a-z]+)(\d+)$")
+
+
+def _resolve(tree, tokens):
+    """Walk 'backbone/c2f1/m0/cv1' style paths. A token that is a dict key
+    is taken literally; otherwise 'm0' means list field 'm' index 0."""
+    node = tree
+    for t in tokens:
+        if isinstance(node, dict) and t in node:
+            node = node[t]
+            continue
+        m = _LIST_TOKEN.match(t)
+        if m and isinstance(node, dict) and m.group(1) in node:
+            node = node[m.group(1)][int(m.group(2))]
+            continue
+        raise KeyError(f"cannot resolve BN path token {t!r}")
+    return node
+
+
+def update_bn_stats(params: Dict, stats,
+                    momentum: float = BN_MOMENTUM) -> Dict:
+    """Returns params with BN running mean/var EMA-updated toward this
+    step's batch statistics (functional: original tree untouched).
+    `stats` is an iterable of (path, batch_mean, batch_var)."""
+
+    # deep-copy only the dict spine so we can mutate
+    def copy_spine(t):
+        if isinstance(t, dict):
+            return {k: copy_spine(v) for k, v in t.items()}
+        if isinstance(t, list):
+            return [copy_spine(v) for v in t]
+        return t
+
+    params = copy_spine(params)
+    for path, mean, var in stats:
+        node = _resolve(params, path.split("/"))
+        bn = node["bn"]
+        bn["mean"] = (1 - momentum) * bn["mean"] + momentum * mean
+        bn["var"] = (1 - momentum) * bn["var"] + momentum * var
+    return params
+
+
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TrainConfig:
+    imgsz: int = 640               # notebook training resolution
+    learning_rate: float = 0.01
+    final_lr_frac: float = 0.01    # cosine to lr * frac (ultralytics lrf)
+    warmup_steps: int = 100
+    total_steps: int = 10_000
+    weight_decay: float = 5e-4
+    momentum: float = 0.937        # ultralytics SGD momentum
+    grad_clip: float = 10.0
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=tc.learning_rate,
+        warmup_steps=tc.warmup_steps,
+        decay_steps=tc.total_steps,
+        end_value=tc.learning_rate * tc.final_lr_frac,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(tc.grad_clip),
+        optax.add_decayed_weights(
+            tc.weight_decay,
+            # decay conv kernels only, not BN params / biases
+            mask=lambda p: jax.tree_util.tree_map_with_path(
+                lambda path, _: any(getattr(k, "key", None) == "w" for k in path), p
+            ),
+        ),
+        optax.sgd(learning_rate=schedule, momentum=tc.momentum, nesterov=True),
+    )
+
+
+def make_train_step(cfg: YoloConfig, tc: TrainConfig,
+                    optimizer: optax.GradientTransformation):
+    """Returns train_step(params, opt_state, batch) -> (params, opt_state,
+    metrics). `batch` = {'images' (B,S,S,3) f32 [0,1], 'boxes' (B,M,4),
+    'classes' (B,M), 'mask' (B,M)}. Pure function — jit/pjit at the call
+    site with the desired shardings."""
+
+    def loss_fn(params, batch):
+        stats = StatsCollector()
+        raw = forward_raw(params, batch["images"], cfg, stats=stats)
+        loss, metrics = detection_loss(raw, batch, cfg, tc.imgsz)
+        # aux must be a pytree — unpack the collector into parallel lists
+        # (paths are static strings; means/vars are traced arrays)
+        paths = tuple(p for p, _, _ in stats.stats)
+        means = [m for _, m, _ in stats.stats]
+        vars_ = [v for _, _, v in stats.stats]
+        return loss, (metrics, paths, means, vars_)
+
+    def train_step(params, opt_state, batch):
+        (loss, (metrics, paths, means, vars_)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = update_bn_stats(params, zip(paths, means, vars_))
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: YoloConfig, tc: TrainConfig):
+    """Loss-only step with running BN stats (no update)."""
+
+    def eval_step(params, batch):
+        raw = forward_raw(params, batch["images"], cfg, stats=None)
+        _, metrics = detection_loss(raw, batch, cfg, tc.imgsz)
+        return metrics
+
+    return eval_step

@@ -1,0 +1,275 @@
+"""Homography stack tests: DLT/RANSAC math (incl. cv2 parity), stabilizer,
+keypoint table, calibrator state machine, 2D renderer."""
+
+import numpy as np
+import pytest
+
+from hockey_tpu.homography.calibrator import CalibratorState, CameraMovementDetector
+from hockey_tpu.homography.keypoints import KEYPOINT_GROUPS, RinkKeypoint, zone_of
+from hockey_tpu.homography.ransac import (
+    dlt_homography,
+    homography_from_keypoints,
+    project,
+    ransac_homography,
+)
+from hockey_tpu.homography.stabilizer import HomographyStabilizer, homography_distance
+from hockey_tpu.rinkmap.dimensions import (
+    NHL,
+    STABLE_KEYPOINT_IDS,
+    default_keypoint_positions,
+)
+from hockey_tpu.rinkmap.renderer import RinkRenderer, bottom_center_anchors
+
+# A plausible broadcast-camera homography: rink feet -> image px.
+GT_H_INV = None
+
+
+def make_gt_homography():
+    """Construct a ground-truth image->rink H by picking 4 correspondences
+    of a synthetic camera view."""
+    rink = np.asarray([[11, 0], [189, 0], [11, 85], [189, 85]], np.float64)
+    img = np.asarray([[300, 200], [1620, 200], [60, 980], [1860, 980]], np.float64)
+    return dlt_homography(img, rink)
+
+
+class TestDLT:
+    def test_exact_recovery(self):
+        h_gt = make_gt_homography()
+        rng = np.random.default_rng(0)
+        img_pts = rng.uniform([100, 150], [1800, 1000], (12, 2))
+        rink_pts = project(h_gt, img_pts)
+        h = dlt_homography(img_pts, rink_pts)
+        np.testing.assert_allclose(project(h, img_pts), rink_pts, atol=1e-6)
+
+    def test_matches_opencv(self):
+        import cv2
+
+        rng = np.random.default_rng(1)
+        src = rng.uniform(0, 1000, (8, 2))
+        h_gt = make_gt_homography()
+        dst = project(h_gt, src) + rng.normal(0, 0.01, (8, 2))
+        ours = dlt_homography(src, dst)
+        theirs, _ = cv2.findHomography(src.astype(np.float32), dst.astype(np.float32), 0)
+        probe = rng.uniform(100, 900, (20, 2))
+        np.testing.assert_allclose(project(ours, probe),
+                                   project(theirs.astype(np.float64), probe),
+                                   atol=0.1)
+
+    def test_degenerate_returns_none(self):
+        pts = np.asarray([[0, 0], [1, 1], [2, 2], [3, 3]], np.float64)  # collinear
+        h = dlt_homography(pts, pts)
+        # collinear points give a rank-deficient system; either None or a
+        # wildly-invalid H is acceptable as long as RANSAC rejects it later
+        if h is not None:
+            assert not np.all(np.isfinite(project(h, np.asarray([[5.0, 1.0]]))))
+
+
+class TestRANSAC:
+    def test_rejects_outliers(self):
+        h_gt = make_gt_homography()
+        rng = np.random.default_rng(2)
+        src = rng.uniform([100, 150], [1800, 1000], (20, 2))
+        dst = project(h_gt, src)
+        dst[:5] += rng.uniform(30, 80, (5, 2))  # 25% gross outliers
+        h, q = ransac_homography(src, dst, threshold=1.0)
+        assert h is not None
+        assert q.inlier_ratio >= 0.7
+        clean = project(h, src[5:])
+        np.testing.assert_allclose(clean, dst[5:], atol=0.5)
+
+    def test_too_few_points(self):
+        h, q = ransac_homography(np.zeros((3, 2)), np.zeros((3, 2)))
+        assert h is None and q is None
+
+
+class TestKeypointTable:
+    def test_table_shape_and_zones(self):
+        table = default_keypoint_positions()
+        assert table.shape == (56, 2)
+        assert (table[:, 0] >= 0).all() and (table[:, 0] <= NHL.length).all()
+        assert (table[:, 1] >= 0).all() and (table[:, 1] <= NHL.width).all()
+        # left zone keypoints on the left half, right zone on the right
+        assert (table[:20, 0] <= NHL.center_x).all()
+        assert (table[36:, 0] >= NHL.center_x).all()
+
+    def test_zone_names(self):
+        assert zone_of(0) == "left_zone"
+        assert zone_of(25) == "center_zone"
+        assert zone_of(55) == "right_zone"
+        assert sum(len(v) for v in KEYPOINT_GROUPS.values()) == 56
+
+    def test_stable_ids_documented_subset(self):
+        assert len(STABLE_KEYPOINT_IDS) == 23
+        assert all(0 <= i < 56 for i in STABLE_KEYPOINT_IDS)
+
+    def test_load_override(self, tmp_path):
+        import json
+
+        from hockey_tpu.rinkmap.dimensions import load_keypoint_positions
+
+        p = tmp_path / "kp.json"
+        p.write_text(json.dumps({"0": [1.0, 2.0]}))
+        table = load_keypoint_positions(str(p))
+        np.testing.assert_allclose(table[0], [1.0, 2.0])
+
+
+class TestHomographyFromKeypoints:
+    def make_keypoints(self, noise=0.0, conf=0.9, rng=None):
+        h_gt = make_gt_homography()
+        h_inv = np.linalg.inv(h_gt)
+        table = default_keypoint_positions()
+        kps = []
+        for i in STABLE_KEYPOINT_IDS:
+            img = project(h_inv, table[i : i + 1])[0]
+            if noise and rng is not None:
+                img = img + rng.normal(0, noise, 2)
+            kps.append(RinkKeypoint(i, f"{zone_of(i)}_kpt_{i}", tuple(img), conf))
+        return kps, h_gt
+
+    def test_recovers_homography(self, rng):
+        kps, h_gt = self.make_keypoints(noise=0.5, rng=rng)
+        h = homography_from_keypoints(kps)
+        assert h is not None
+        probe = np.asarray([[960, 540], [300, 300], [1500, 800]], np.float64)
+        np.testing.assert_allclose(project(h, probe), project(h_gt, probe), atol=1.0)
+
+    def test_low_confidence_filtered(self):
+        kps, _ = self.make_keypoints(conf=0.1)
+        assert homography_from_keypoints(kps) is None
+
+    def test_replaces_reference_stub(self):
+        """The reference get_rink_homography always returns None
+        (rink_keypoint_detector.py:189-212); ours must return a matrix."""
+        rng = np.random.default_rng(3)
+        kps, _ = self.make_keypoints(noise=0.2, rng=rng)
+        assert homography_from_keypoints(kps) is not None
+
+
+class TestStabilizer:
+    def test_smooths_noise(self):
+        h_gt = make_gt_homography()
+        st = HomographyStabilizer()
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            noisy = h_gt + rng.normal(0, 1e-5, (3, 3))
+            st.update(noisy)
+        assert homography_distance(st.current, h_gt) < 0.5
+
+    def test_rejects_single_jump_accepts_persistent(self):
+        h_gt = make_gt_homography()
+        jumped = h_gt.copy()
+        jumped[0, 2] += 500  # big translation
+        st = HomographyStabilizer(jump_persistence=3)
+        st.update(h_gt)
+        st.update(jumped)
+        assert homography_distance(st.current, h_gt) < 1.0, "single jump accepted"
+        st.update(jumped)
+        st.update(jumped)
+        assert homography_distance(st.current, jumped) < 1.0, "persistent cut rejected"
+
+    def test_lock(self):
+        h_gt = make_gt_homography()
+        st = HomographyStabilizer()
+        st.update(h_gt)
+        st.lock(True)
+        other = h_gt.copy()
+        other[0, 2] += 100
+        for _ in range(10):
+            st.update(other)
+        assert homography_distance(st.current, h_gt) < 1e-6
+
+
+class TestCalibrator:
+    def make_state_with_kps(self, rng):
+        h_gt = make_gt_homography()
+        h_inv = np.linalg.inv(h_gt)
+        table = default_keypoint_positions()
+        kps = [
+            RinkKeypoint(i, f"{zone_of(i)}_kpt_{i}",
+                         tuple(project(h_inv, table[i : i + 1])[0] + rng.normal(0, 0.3, 2)),
+                         0.9)
+            for i in STABLE_KEYPOINT_IDS
+        ]
+        st = CalibratorState(frame_hw=(1080, 1920))
+        st.detected_keypoints = kps
+        return st, kps, h_gt
+
+    def test_recalculate_and_quality_status(self, rng):
+        st, _, h_gt = self.make_state_with_kps(rng)
+        h = st.recalculate()
+        assert h is not None
+        assert "OK" in st.status
+        assert homography_distance(h, h_gt) < 1.0
+
+    def test_manual_point_drag(self, rng):
+        st, kps, _ = self.make_state_with_kps(rng)
+        kid = st.select_near(*kps[0].position)
+        assert kid == kps[0].id
+        st.drag_to(kps[0].position[0] + 5, kps[0].position[1] + 5)
+        assert kid in st.manual_points
+        st.remove_near(kps[0].position[0] + 5, kps[0].position[1] + 5)
+        assert kid not in st.manual_points
+
+    def test_hotkeys(self, rng):
+        st, _, _ = self.make_state_with_kps(rng)
+        st.drive_key("h")
+        assert st.show_help
+        st.drive_key("c")
+        assert st.show_confidence
+        st.recalculate()
+        st.drive_key("l")
+        assert st.stabilizer.locked
+        st.drive_key("l")
+        assert not st.stabilizer.locked
+
+    def test_save_load_profile(self, rng, tmp_path):
+        st, _, _ = self.make_state_with_kps(rng)
+        st.recalculate()
+        st.manual_points[3] = (10.0, 20.0)
+        path = str(tmp_path / "cal.json")
+        st.save_profile(path)
+        st2 = CalibratorState()
+        st2.load_profile(path)
+        np.testing.assert_allclose(st2.stabilizer.current, st.stabilizer.current)
+        assert st2.manual_points[3] == (10.0, 20.0)
+
+    def test_camera_movement_detector(self):
+        det = CameraMovementDetector(threshold=5.0)
+        f1 = np.zeros((100, 100, 3), np.uint8)
+        f2 = np.full((100, 100, 3), 200, np.uint8)
+        assert det.update(f1) is False  # first frame
+        assert det.update(f1) is False  # static
+        assert det.update(f2) is True   # big change
+
+    def test_segment_save_and_reuse(self, rng):
+        st, kps, _ = self.make_state_with_kps(rng)
+        frame_a = np.zeros((1080, 1920, 3), np.uint8)
+        frame_b = np.full((1080, 1920, 3), 200, np.uint8)
+        st.process_frame(frame_a, kps)
+        assert st.save_segment()
+        h_a = st.stabilizer.current.copy()
+        st.process_frame(frame_b, [])   # camera cut, no keypoints
+        st.process_frame(frame_a, [])   # back to known pose, still no kps
+        assert st.stabilizer.current is not None
+        np.testing.assert_allclose(st.stabilizer.current, h_a)
+
+
+class TestRinkRenderer:
+    def test_render_and_overlay(self):
+        r = RinkRenderer()
+        base = r.render()
+        assert base.shape == (int(85 * 3), int(200 * 3), 3)
+        h_gt = make_gt_homography()
+        h_inv = np.linalg.inv(h_gt)
+        # put two players at known rink spots
+        rink_pts = np.asarray([[100.0, 42.5], [50.0, 20.0]])
+        img_pts = project(h_inv, rink_pts)
+        m = r.render(h_gt, img_pts, team_ids=[0, 1])
+        assert not np.array_equal(m, base), "players not drawn"
+        frame = np.zeros((1080, 1920, 3), np.uint8)
+        out = r.overlay(frame, m)
+        assert out[1000, 1700].sum() > 0, "map not composited"
+
+    def test_bottom_center_anchors(self):
+        b = np.asarray([[10, 20, 30, 60]])
+        np.testing.assert_allclose(bottom_center_anchors(b), [[20, 60]])

@@ -1,0 +1,204 @@
+"""Training tests: TAL assigner, v8 loss, train step convergence on a tiny
+synthetic task, and multi-device (dp x fsdp) sharded training on the
+virtual 8-CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hockey_tpu.models.yolov8 import YoloConfig, anchor_points, init_params
+from hockey_tpu.train.assigner import assign_batch
+from hockey_tpu.train.losses import detection_loss
+from hockey_tpu.train.trainer import (
+    TrainConfig,
+    make_optimizer,
+    make_train_step,
+    update_bn_stats,
+)
+
+TINY = YoloConfig("n", num_classes=2)
+IMGSZ = 64
+
+
+def synth_batch(rng, b=2, m=4):
+    """Images with bright rectangles at the gt boxes."""
+    images = rng.uniform(0, 0.3, (b, IMGSZ, IMGSZ, 3)).astype(np.float32)
+    boxes = np.zeros((b, m, 4), np.float32)
+    classes = np.zeros((b, m), np.int32)
+    mask = np.zeros((b, m), bool)
+    for i in range(b):
+        for j in range(2):  # two real boxes per image
+            x, y = rng.integers(4, 36, 2)
+            w, h = rng.integers(12, 24, 2)
+            boxes[i, j] = [x, y, min(x + w, 63), min(y + h, 63)]
+            classes[i, j] = j % 2
+            mask[i, j] = True
+            images[i, int(y): int(boxes[i, j][3]), int(x): int(boxes[i, j][2])] = \
+                [0.9, 0.2 + 0.6 * (j % 2), 0.1]
+    return {
+        "images": jnp.asarray(images),
+        "boxes": jnp.asarray(boxes),
+        "classes": jnp.asarray(classes),
+        "mask": jnp.asarray(mask),
+    }
+
+
+class TestAssigner:
+    def test_perfect_predictions_assigned(self):
+        pts, strides = anchor_points(IMGSZ)
+        pts_px = jnp.asarray(pts * strides[:, None])
+        a = pts_px.shape[0]
+        gt = jnp.asarray([[[8.0, 8, 32, 32], [40, 40, 60, 60]]])
+        gt_cls = jnp.asarray([[0, 1]], jnp.int32)
+        gt_mask = jnp.asarray([[True, True]])
+        # predictions: every anchor predicts the nearest gt box perfectly
+        d0 = jnp.linalg.norm(pts_px - jnp.asarray([20.0, 20.0]), axis=1)
+        d1 = jnp.linalg.norm(pts_px - jnp.asarray([50.0, 50.0]), axis=1)
+        nearest = (d1 < d0).astype(jnp.int32)
+        pred_boxes = gt[0][nearest][None]
+        pred_scores = jax.nn.one_hot(nearest, 2)[None] * 0.9
+        res = assign_batch(pred_scores, pred_boxes, pts_px, gt, gt_cls, gt_mask)
+        fg = np.asarray(res.fg_mask[0])
+        assert fg.sum() > 0
+        # assigned target boxes must be one of the two gts
+        tb = np.asarray(res.target_boxes[0])[fg]
+        for t in tb:
+            assert (np.allclose(t, [8, 8, 32, 32]) or np.allclose(t, [40, 40, 60, 60]))
+        # anchors inside gt0 got class 0 scores
+        ts = np.asarray(res.target_scores[0])[fg]
+        assert (ts.sum(-1) > 0).all()
+
+    def test_no_gt_no_fg(self):
+        pts, strides = anchor_points(IMGSZ)
+        pts_px = jnp.asarray(pts * strides[:, None])
+        a = pts_px.shape[0]
+        res = assign_batch(
+            jnp.zeros((1, a, 2)), jnp.zeros((1, a, 4)), pts_px,
+            jnp.zeros((1, 4, 4)), jnp.zeros((1, 4), jnp.int32),
+            jnp.zeros((1, 4), bool),
+        )
+        assert not np.asarray(res.fg_mask).any()
+
+
+class TestLoss:
+    def test_loss_finite_and_components(self, rng):
+        params = init_params(TINY, seed=0)
+        batch = synth_batch(rng)
+        from hockey_tpu.models.yolov8 import forward_raw
+
+        raw = forward_raw(params, batch["images"], TINY)
+        loss, metrics = detection_loss(raw, batch, TINY, IMGSZ)
+        assert np.isfinite(float(loss))
+        for k in ("box_loss", "cls_loss", "dfl_loss"):
+            assert float(metrics[k]) >= 0
+        assert float(metrics["num_fg"]) > 0
+
+    def test_grads_flow_everywhere(self, rng):
+        params = init_params(TINY, seed=0)
+        batch = synth_batch(rng)
+        from hockey_tpu.models.yolov8 import forward_raw
+
+        def f(p):
+            return detection_loss(forward_raw(p, batch["images"], TINY),
+                                  batch, TINY, IMGSZ)[0]
+
+        grads = jax.grad(f)(params)
+        leaves, _ = jax.tree_util.tree_flatten(grads)
+        nonzero = sum(int(jnp.any(l != 0)) for l in leaves)
+        assert nonzero > len(leaves) * 0.5, "most params received no gradient"
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, rng):
+        params = init_params(TINY, seed=0)
+        tc = TrainConfig(imgsz=IMGSZ, total_steps=60, warmup_steps=5,
+                         learning_rate=0.005)
+        opt = make_optimizer(tc)
+        opt_state = opt.init(params)
+        step = jax.jit(make_train_step(TINY, tc, opt))
+        batch = synth_batch(rng)  # overfit one batch
+        losses = []
+        for i in range(25):
+            params, opt_state, m = step(params, opt_state, batch)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.8, f"no learning: {losses[0]:.3f}->{losses[-1]:.3f}"
+
+    def test_bn_stats_updated(self, rng):
+        params = init_params(TINY, seed=0)
+        tc = TrainConfig(imgsz=IMGSZ)
+        opt = make_optimizer(tc)
+        step = jax.jit(make_train_step(TINY, tc, opt))
+        before = np.asarray(params["backbone"]["stem"]["bn"]["mean"])
+        params2, _, _ = step(params, opt.init(params), synth_batch(rng))
+        after = np.asarray(params2["backbone"]["stem"]["bn"]["mean"])
+        assert not np.allclose(before, after), "BN running mean not updated"
+
+    def test_update_bn_stats_is_functional(self, rng):
+        from hockey_tpu.models.layers import StatsCollector
+        from hockey_tpu.models.yolov8 import forward_raw
+
+        params = init_params(TINY, seed=0)
+        col = StatsCollector()
+        forward_raw(params, jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32),
+                    TINY, stats=col)
+        before = np.asarray(params["backbone"]["stem"]["bn"]["mean"]).copy()
+        update_bn_stats(params, col.stats)
+        np.testing.assert_array_equal(
+            np.asarray(params["backbone"]["stem"]["bn"]["mean"]), before)
+
+
+class TestShardedTraining:
+    def test_dp_fsdp_train_step_on_virtual_mesh(self, rng):
+        from hockey_tpu.core.mesh import make_mesh
+        from hockey_tpu.parallel.sharding import (
+            jit_train_step,
+            shard_batch,
+            shard_params,
+        )
+
+        assert len(jax.devices()) == 8, "conftest should force 8 CPU devices"
+        mesh = make_mesh(8, dp=4, fsdp=2)
+        params = init_params(TINY, seed=0)
+        tc = TrainConfig(imgsz=IMGSZ)
+        opt = make_optimizer(tc)
+        opt_state = opt.init(params)
+        batch = synth_batch(rng, b=8)
+        with mesh:
+            params = shard_params(mesh, params)
+            batch = shard_batch(mesh, batch)
+            step = jit_train_step(make_train_step(TINY, tc, opt), mesh,
+                                  params, opt_state, batch)
+            params, opt_state, metrics = step(params, opt_state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_sharded_matches_single_device(self, rng):
+        """dp x fsdp sharding must not change the math (same loss as
+        unsharded execution on the same batch)."""
+        from hockey_tpu.core.mesh import make_mesh
+        from hockey_tpu.parallel.sharding import (
+            jit_train_step,
+            shard_batch,
+            shard_params,
+        )
+
+        params0 = init_params(TINY, seed=0)
+        tc = TrainConfig(imgsz=IMGSZ)
+        opt = make_optimizer(tc)
+        batch = synth_batch(rng, b=8)
+
+        step1 = jax.jit(make_train_step(TINY, tc, opt))
+        _, _, m1 = step1(params0, opt.init(params0), batch)
+
+        mesh = make_mesh(8, dp=4, fsdp=2)
+        with mesh:
+            ps = shard_params(mesh, params0)
+            bs = shard_batch(mesh, batch)
+            step8 = jit_train_step(make_train_step(TINY, tc, opt), mesh,
+                                   ps, opt.init(params0), bs)
+            _, _, m8 = step8(ps, opt.init(ps), bs)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=1e-3)
