@@ -18,6 +18,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def letterbox_params(h: int, w: int, imgsz: int) -> Tuple[float, int, int, int, int]:
@@ -34,20 +35,46 @@ def letterbox_params(h: int, w: int, imgsz: int) -> Tuple[float, int, int, int, 
     return r, new_h, new_w, pad_top, pad_left
 
 
+def _resize_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) bilinear interpolation matrix (half-pixel centers,
+    jax.image.resize / cv2.INTER_LINEAR convention). Dense on purpose:
+    resize becomes two MXU matmuls instead of gather ops, which on TPU is
+    ~10x faster than the gather lowering of jax.image.resize."""
+    m = np.zeros((dst, src), np.float32)
+    scale = src / dst
+    pos = (np.arange(dst) + 0.5) * scale - 0.5
+    lo = np.floor(pos).astype(np.int64)
+    frac = pos - lo
+    lo_c = np.clip(lo, 0, src - 1)
+    hi_c = np.clip(lo + 1, 0, src - 1)
+    m[np.arange(dst), lo_c] += 1.0 - frac
+    m[np.arange(dst), hi_c] += frac
+    return m
+
+
 @functools.partial(jax.jit, static_argnames=("imgsz", "dtype"))
 def letterbox_batch(
     frames: jnp.ndarray, imgsz: int, dtype: jnp.dtype = jnp.bfloat16
 ) -> jnp.ndarray:
     """(B, H, W, 3) uint8 -> (B, imgsz, imgsz, 3) `dtype` in [0, 1].
 
-    Bilinear resize (matches cv2.INTER_LINEAR used by ultralytics) fused
-    with the /255 normalize and pad. Runs entirely on device.
+    Separable bilinear resize as two dense matmuls (rides the MXU; see
+    _resize_matrix) fused with the /255 normalize and gray pad. Runs
+    entirely on device as part of the detection megastep.
     """
     b, h, w, c = frames.shape
     r, new_h, new_w, pad_top, pad_left = letterbox_params(h, w, imgsz)
 
-    x = frames.astype(jnp.float32)
-    x = jax.image.resize(x, (b, new_h, new_w, c), method="bilinear")
+    ah = jnp.asarray(_resize_matrix(h, new_h), dtype)     # (nh, h)
+    aw = jnp.asarray(_resize_matrix(w, new_w).T, dtype)   # (w, nw)
+    x = frames.astype(dtype)
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    # rows: (nh, h) @ (B, h, w*c) -> (B, nh, w, c)
+    x = jnp.einsum("rh,bhwc->brwc", ah, x,
+                   preferred_element_type=dtype, precision=prec)
+    # cols: (B, nh, w, c) @ (w, nw) -> (B, nh, nw, c)
+    x = jnp.einsum("brwc,wk->brkc", x, aw,
+                   preferred_element_type=dtype, precision=prec)
     x = x * (1.0 / 255.0)
     pad_bottom = imgsz - new_h - pad_top
     pad_right = imgsz - new_w - pad_left
