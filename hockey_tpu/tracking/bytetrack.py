@@ -29,9 +29,9 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 import numpy as np
-import scipy.optimize
 
 from ..core.config import Config
+from . import native
 from .kalman import BatchKalmanXYAH, xyah_to_xyxy, xyxy_to_xyah
 
 _TRACKED, _LOST, _REMOVED = 0, 1, 2
@@ -54,17 +54,9 @@ class _Track:
         return xyah_to_xyxy(self.mean[None, :4])[0]
 
 
-def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(N, 4) x (M, 4) xyxy -> IoU, pure numpy (host, tiny N)."""
-    if len(a) == 0 or len(b) == 0:
-        return np.zeros((len(a), len(b)), np.float32)
-    lt = np.maximum(a[:, None, :2], b[None, :, :2])
-    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
-    wh = np.clip(rb - lt, 0, None)
-    inter = wh[..., 0] * wh[..., 1]
-    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    return (inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-7)).astype(np.float32)
+# IoU matrix from the native host runtime (native/hockey_host.cpp) with a
+# numpy fallback — both are microseconds at tracker scale (N <= ~30).
+_iou_matrix = native.iou_matrix
 
 
 def _assign(cost: np.ndarray, gate: float) -> Tuple[List[Tuple[int, int]], List[int], List[int]]:
@@ -72,7 +64,7 @@ def _assign(cost: np.ndarray, gate: float) -> Tuple[List[Tuple[int, int]], List[
     unmatched_cols). cost = 1 - IoU; pairs with cost > gate are rejected."""
     if cost.size == 0:
         return [], list(range(cost.shape[0])), list(range(cost.shape[1]))
-    rows, cols = scipy.optimize.linear_sum_assignment(cost)
+    rows, cols = native.linear_sum_assignment(cost)
     matches, ur, uc = [], set(range(cost.shape[0])), set(range(cost.shape[1]))
     for r, c in zip(rows, cols):
         if cost[r, c] <= gate:
