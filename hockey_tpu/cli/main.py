@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write per-stage timing/counters JSON here.")
     p.add_argument("--limit-frames", type=int, default=None,
                    help="Stop after N output frames.")
+    p.add_argument("--resume", type=str, default=None,
+                   help="Resume from a run-state file (core/session.py).")
+    p.add_argument("--save-state", type=str, default=None,
+                   help="Write run state here (for later --resume).")
+    p.add_argument("--save-state-every", type=int, default=300,
+                   help="Autosave interval in frames when --save-state set.")
     return p
 
 
@@ -94,25 +100,41 @@ def main(argv=None) -> int:
         calibration_profile=args.calibration,
     )
 
-    if args.limit_frames:
+    start_frame = 0
+    if args.resume:
+        from ..core.session import load_run_state
+
+        start_frame = load_run_state(args.resume, processor)
+        print(f"Resumed from {args.resume} at frame {start_frame}")
+
+    if args.limit_frames or args.resume or args.save_state:
         import itertools
 
         import cv2
 
+        from ..core.session import save_run_state
         from ..pipeline import VideoSinkWriter
 
-        gen = itertools.islice(processor.process_video(args.source_path),
-                               args.limit_frames)
+        gen = processor.process_video(args.source_path,
+                                      start_frame=start_frame,
+                                      skip_init=bool(args.resume))
+        if args.limit_frames:
+            gen = itertools.islice(gen, args.limit_frames)
         sink = VideoSinkWriter(args.target_path, info) if args.target_path else None
         n = 0
         for frame in gen:
             if sink:
                 sink.write(frame)
             n += 1
+            if args.save_state and n % args.save_state_every == 0:
+                save_run_state(args.save_state, processor, start_frame + n)
             if not args.headless:
                 cv2.imshow("Hockey Vision", frame)
                 if cv2.waitKey(1) & 0xFF == ord("q"):
                     break
+        if args.save_state:
+            save_run_state(args.save_state, processor, start_frame + n)
+            print(f"Run state saved to {args.save_state}")
         if sink:
             sink.close()
         if not args.headless:

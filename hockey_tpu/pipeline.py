@@ -277,20 +277,23 @@ class VideoProcessor:
         return out
 
     # ------------------------------------------------------------------
-    def process_video(self, source_path: str) -> Iterator[np.ndarray]:
+    def process_video(self, source_path: str, start_frame: int = 0,
+                      skip_init: bool = False) -> Iterator[np.ndarray]:
         """Frame stream: one-time classifier init, then detect in device
         batches and run host stages in order (reference main.py:315-322,
-        batched)."""
-        if self.mode == ProcessingMode.TEAM_CLASSIFICATION:
+        batched). `start_frame`/`skip_init` support checkpoint resume
+        (core/session.py)."""
+        if self.mode == ProcessingMode.TEAM_CLASSIFICATION and not skip_init:
             self.initialize_team_classifier(source_path)
 
         b = max(self.config.frame_batch, 1)
         if self.mode == ProcessingMode.PUCK_DETECTION or b == 1:
-            for frame in frame_generator(source_path):
+            for frame in frame_generator(source_path, start=start_frame):
                 yield self.process_frame(frame)
             return
 
-        for frames, n in batched_frame_generator(source_path, b):
+        for frames, n in batched_frame_generator(source_path, b,
+                                                 start=start_frame):
             with self.timers.stage("detect"):
                 batch_det = self.player_detector.detect_batch(frames)
                 dets = [HostDetections.from_padded(batch_det, i) for i in range(n)]

@@ -61,13 +61,13 @@ def frame_generator(path: str, stride: int = 1, start: int = 0,
         cap.release()
 
 
-def batched_frame_generator(path: str, batch: int,
-                            stride: int = 1) -> Iterator[np.ndarray]:
+def batched_frame_generator(path: str, batch: int, stride: int = 1,
+                            start: int = 0) -> Iterator[np.ndarray]:
     """Yield (B, H, W, 3) uint8 batches; the final batch is padded by
     repeating its last frame so device shapes stay static (callers get the
     true count via the second tuple element)."""
     buf: List[np.ndarray] = []
-    for frame in frame_generator(path, stride=stride):
+    for frame in frame_generator(path, stride=stride, start=start):
         buf.append(frame)
         if len(buf) == batch:
             yield np.stack(buf), batch
