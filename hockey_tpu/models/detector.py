@@ -78,11 +78,13 @@ def build_detect_fn(
     coordinates with fixed max_det capacity.
     """
     h, w = frame_hw
+    # sequential NMS suppression runs as a Pallas VMEM kernel on TPU
+    use_pallas = jax.default_backend() not in ("cpu",)
 
     @jax.jit
     def detect(params: Dict, frames: jnp.ndarray):
         x = letterbox_batch(frames, imgsz, dtype)
-        raw = forward_raw(params, x, None)
+        raw = forward_raw(params, x, cfg)
         boxes, scores = decode_boxes(raw, cfg, imgsz)  # letterboxed coords
         max_scores = jnp.max(scores, axis=-1)
         classes = jnp.argmax(scores, axis=-1).astype(jnp.int32)
@@ -91,7 +93,7 @@ def build_detect_fn(
             return nms(
                 bx, sc, cl,
                 score_threshold=conf, iou_threshold=iou,
-                pre_topk=pre_topk, max_det=max_det,
+                pre_topk=pre_topk, max_det=max_det, pallas=use_pallas,
             )
 
         det = jax.vmap(one)(boxes, max_scores, classes)

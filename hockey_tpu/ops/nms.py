@@ -61,7 +61,7 @@ def _suppress_fast(iou: jnp.ndarray, keep0: jnp.ndarray, iou_thr: float) -> jnp.
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pre_topk", "max_det", "class_aware", "exact"),
+    static_argnames=("pre_topk", "max_det", "class_aware", "exact", "pallas"),
 )
 def nms(
     boxes: jnp.ndarray,
@@ -74,8 +74,11 @@ def nms(
     max_det: int = 64,
     class_aware: bool = True,
     exact: bool = True,
+    pallas: bool = False,
 ) -> Detections:
-    """Single-image NMS. boxes (A, 4) f32, scores (A,), classes (A,) int."""
+    """Single-image NMS. boxes (A, 4) f32, scores (A,), classes (A,) int.
+    `pallas=True` runs the sequential suppression as a VMEM-resident
+    Pallas kernel (TPU backends; same kept set as exact)."""
     a = scores.shape[0]
     k = min(pre_topk, a)
     scores = scores.astype(jnp.float32)
@@ -91,7 +94,12 @@ def nms(
 
     iou = box_iou(nms_boxes, nms_boxes)
     keep0 = top_scores > score_threshold
-    keep = (_suppress_exact if exact else _suppress_fast)(iou, keep0, iou_threshold)
+    if pallas:
+        from .pallas.nms_kernel import suppress_pallas
+
+        keep = suppress_pallas(iou, keep0, iou_threshold)
+    else:
+        keep = (_suppress_exact if exact else _suppress_fast)(iou, keep0, iou_threshold)
 
     final_scores = jnp.where(keep, top_scores, -1.0)
     if k < max_det:  # fewer candidates than output slots: pad with invalid
