@@ -18,8 +18,9 @@ from ..core.config import Config, ProcessingMode
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Hockey Vision Analytics (TPU-native)")
-    p.add_argument("--source_path", type=str, required=True,
-                   help="Path to the source video file.")
+    p.add_argument("--source_path", type=str, default=None,
+                   help="Path to the source video file (required unless "
+                        "--sources is given).")
     p.add_argument("--target_path", type=str, default=None,
                    help="Path to save the output video.")
     p.add_argument("--device", type=str, default="tpu",
@@ -51,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write per-stage timing/counters JSON here.")
     p.add_argument("--limit-frames", type=int, default=None,
                    help="Stop after N output frames.")
+    p.add_argument("--sources", type=str, default=None,
+                   help="Comma-separated clip list for multi-clip batch "
+                        "mode (one device megastep per frame across clips; "
+                        "overrides --source_path).")
     p.add_argument("--resume", type=str, default=None,
                    help="Resume from a run-state file (core/session.py).")
     p.add_argument("--save-state", type=str, default=None,
@@ -63,10 +68,16 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    if not Path(args.source_path).exists():
-        raise FileNotFoundError(f"Source video not found: {args.source_path}")
     if args.headless:
         os.environ["HOCKEY_TPU_HEADLESS"] = "1"
+
+    if args.sources:
+        return _main_multiclip(args)
+
+    if not args.source_path:
+        raise SystemExit("--source_path (or --sources) is required")
+    if not Path(args.source_path).exists():
+        raise FileNotFoundError(f"Source video not found: {args.source_path}")
 
     config = Config()
     if args.frame_batch:
@@ -149,6 +160,41 @@ def main(argv=None) -> int:
     processor.timers.dump_json(args.json_metrics)
     if args.json_metrics:
         print(f"Metrics written to {args.json_metrics}")
+    return 0
+
+
+def _main_multiclip(args) -> int:
+    """Multi-clip batch mode: K clips, one device megastep per frame row."""
+    sources = [s.strip() for s in args.sources.split(",") if s.strip()]
+    for s in sources:
+        if not Path(s).exists():
+            raise FileNotFoundError(f"Source video not found: {s}")
+
+    config = Config()
+    if args.imgsz:
+        config.detection_imgsz = args.imgsz
+    if args.conf is not None:
+        config.detection_confidence = args.conf
+
+    from ..multiclip import MultiClipProcessor
+
+    team_names = None
+    if args.team_names:
+        parts = args.team_names.split(",")
+        if len(parts) == 2:
+            team_names = (parts[0].strip(), parts[1].strip())
+
+    mp = MultiClipProcessor(
+        sources, config=config, mode=ProcessingMode(args.mode),
+        team_names=team_names, checkpoint=args.checkpoint,
+    )
+    targets = None
+    if args.target_path:
+        base = Path(args.target_path)
+        targets = [str(base.with_name(f"{base.stem}_{i}{base.suffix}"))
+                   for i in range(len(sources))]
+    counts = mp.run(targets, limit_frames=args.limit_frames)
+    print(f"Processed {counts} frames across {len(sources)} clips.")
     return 0
 
 
