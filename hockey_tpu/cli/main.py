@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write run state here (for later --resume).")
     p.add_argument("--save-state-every", type=int, default=300,
                    help="Autosave interval in frames when --save-state set.")
+    p.add_argument("--profile", type=str, default=None,
+                   help="Capture a jax.profiler trace to this directory.")
     return p
 
 
@@ -111,6 +113,11 @@ def main(argv=None) -> int:
         calibration_profile=args.calibration,
     )
 
+    from ..utils.profiling import device_trace
+
+    trace_ctx = device_trace(args.profile)
+    trace_ctx.__enter__()
+
     start_frame = 0
     if args.resume:
         from ..core.session import load_run_state
@@ -156,6 +163,7 @@ def main(argv=None) -> int:
             display=not args.headless,
         )
 
+    trace_ctx.__exit__(None, None, None)
     print(f"Processed {n} frames.")
     processor.timers.dump_json(args.json_metrics)
     if args.json_metrics:

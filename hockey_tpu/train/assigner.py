@@ -26,6 +26,7 @@ class AssignResult(NamedTuple):
     target_boxes: jnp.ndarray    # (A, 4) xyxy assigned gt box per anchor
     target_scores: jnp.ndarray   # (A, nc) soft cls targets
     fg_mask: jnp.ndarray         # (A,) bool — anchor has an assignment
+    target_gt_idx: jnp.ndarray   # (A,) int32 assigned gt row (valid on fg)
 
 
 def _assign_single(
@@ -86,7 +87,7 @@ def _assign_single(
 
     scores = jax.nn.one_hot(tgt_cls, num_classes) * t[:, None]
     scores = jnp.where(fg[:, None], scores, 0.0)
-    return AssignResult(tgt_boxes, scores, fg)
+    return AssignResult(tgt_boxes, scores, fg, best_gt.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes", "topk", "alpha", "beta"))

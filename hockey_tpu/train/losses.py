@@ -19,6 +19,7 @@ from ..ops.iou import ciou
 from .assigner import assign_batch
 
 BOX_W, CLS_W, DFL_W = 7.5, 0.5, 1.5
+KPT_W, KOBJ_W = 12.0, 1.0  # published v8-pose defaults
 
 
 def _dfl_loss(pred_dist: jnp.ndarray, target: jnp.ndarray, reg_max: int) -> jnp.ndarray:
@@ -106,7 +107,59 @@ def detection_loss(
         "dfl_loss": dfl_loss,
         "num_fg": jnp.sum(fg.astype(jnp.float32)),
     }
+
+    # --- keypoints (pose models): OKS-style location loss + visibility BCE
+    if "kpt" in raw and "keypoints" in batch:
+        kpt_loc, kpt_vis = _keypoint_loss(
+            raw, batch, cfg, assign, fg, w, tgt_sum, pts, strides)
+        total = total + KPT_W * kpt_loc + KOBJ_W * kpt_vis
+        metrics["loss"] = total
+        metrics["kpt_loss"] = kpt_loc
+        metrics["kobj_loss"] = kpt_vis
     return total, metrics
+
+
+def _keypoint_loss(raw, batch, cfg, assign, fg, w, tgt_sum, pts, strides):
+    """v8-pose keypoint loss for fg anchors: OKS-style location term
+    (1 - exp(-d^2 / (2 * area * sigma^2))) over visible keypoints + BCE on
+    the per-keypoint visibility logit. batch['keypoints']: (B, M, K, 3)
+    with (x_px, y_px, visible)."""
+    b = raw["kpt"][0].shape[0]
+    k = cfg.num_keypoints
+    kpt_raw = jnp.concatenate(
+        [m.reshape(b, -1, k, 3) for m in raw["kpt"]], axis=1
+    ).astype(jnp.float32)                                    # (B, A, K, 3)
+    # decode predicted keypoints to px (same as models.yolov8.decode_keypoints)
+    p = pts[None, :, None, :]
+    s = strides[None, :, None, None]
+    pred_xy = (kpt_raw[..., :2] * 2.0 + (p - 0.5)) * s
+    vis_logit = kpt_raw[..., 2]
+
+    # gather assigned gt keypoints per anchor
+    gt_kpts = batch["keypoints"]                             # (B, M, K, 3)
+    idx = assign.target_gt_idx[..., None, None]              # (B, A, 1, 1)
+    tgt = jnp.take_along_axis(
+        gt_kpts, jnp.broadcast_to(idx, (b, idx.shape[1], k, 3)), axis=1)
+    tgt_xy, tgt_vis = tgt[..., :2], tgt[..., 2]
+
+    area = box_area_xyxy(assign.target_boxes)                # (B, A)
+    d2 = jnp.sum((pred_xy - tgt_xy) ** 2, axis=-1)           # (B, A, K)
+    e = d2 / (2.0 * jnp.maximum(area[..., None], 1.0))
+    oks_term = 1.0 - jnp.exp(-e)
+    vis_mask = (tgt_vis > 0.5).astype(jnp.float32)
+    anchor_w = (w * fg)[..., None]
+    loc = jnp.sum(oks_term * vis_mask * anchor_w) / jnp.maximum(
+        jnp.sum(vis_mask * anchor_w), 1.0)
+
+    vis_bce = optax_sigmoid_bce(vis_logit, vis_mask)
+    vis = jnp.sum(vis_bce * (fg[..., None])) / jnp.maximum(
+        jnp.sum(fg) * k, 1.0)
+    return loc, vis
+
+
+def box_area_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(boxes[..., 2] - boxes[..., 0], 0) * jnp.maximum(
+        boxes[..., 3] - boxes[..., 1], 0)
 
 
 def optax_sigmoid_bce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
