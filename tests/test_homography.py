@@ -273,3 +273,20 @@ class TestRinkRenderer:
     def test_bottom_center_anchors(self):
         b = np.asarray([[10, 20, 30, 60]])
         np.testing.assert_allclose(bottom_center_anchors(b), [[20, 60]])
+
+
+class TestShippedKeypointTable:
+    def test_data_keypoints_json_matches_defaults(self):
+        import json
+        import os
+
+        import hockey_tpu
+
+        path = os.path.join(os.path.dirname(hockey_tpu.__file__),
+                            "data", "keypoints.json")
+        with open(path) as f:
+            table = json.load(f)
+        assert len(table) == 56
+        defaults = default_keypoint_positions()
+        for k, v in table.items():
+            np.testing.assert_allclose(defaults[int(k)], v, atol=1e-4)
