@@ -227,9 +227,8 @@ class VideoProcessor:
             player_team_ids = np.array([], dtype=np.int64)
             if pmask.any():
                 with self.timers.stage("teams"):
-                    pcrops = self._crops(frame, boxes[pmask])
-                    player_team_ids = self.team_classifier.predict(
-                        pcrops, tracker_ids=tids[pmask],
+                    player_team_ids = self.team_classifier.predict_from_frame(
+                        frame, boxes[pmask], tracker_ids=tids[pmask],
                         positions=self._positions(boxes[pmask]),
                     )
             # merge order: players then goalies (reference main.py:287-288)

@@ -144,6 +144,24 @@ class TeamClassifier:
                     except Exception:
                         pass
 
+    def predict_from_frame(self, frame: np.ndarray, boxes: np.ndarray,
+                           tracker_ids: Optional[np.ndarray] = None,
+                           positions=None) -> np.ndarray:
+        """TPU fast path: device crop sampling when the active strategy
+        supports it; otherwise host crops + the regular predict."""
+        if hasattr(self._impl, "predict_from_frame"):
+            try:
+                return self._impl.predict_from_frame(frame, boxes, tracker_ids)
+            except Exception as e:
+                print(f"{self._impl_name} frame-predict failed: {e}")
+        h, w = frame.shape[:2]
+        crops = []
+        for b in np.asarray(boxes).reshape(-1, 4):
+            x1, y1 = max(int(b[0]), 0), max(int(b[1]), 0)
+            x2, y2 = min(int(b[2]), w), min(int(b[3]), h)
+            crops.append(frame[y1:y2, x1:x2])
+        return self.predict(crops, tracker_ids, positions)
+
     # ------------------------------------------------------------------
     def get_segmentation_masks(self, tracker_ids) -> Optional[Dict[int, np.ndarray]]:
         if self._impl_name == "segmentation":

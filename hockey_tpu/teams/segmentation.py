@@ -22,8 +22,26 @@ from typing import Dict, List, Optional
 import numpy as np
 from sklearn.cluster import KMeans
 
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.crop_resize import crop_and_resize
 from .base import CROP_H, CROP_W, MajorityVote, to_device_batch
 from .features import color_prior_masks, grabcut_mask_host, segmentation_features
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _frame_features(frame: jnp.ndarray, boxes: jnp.ndarray):
+    """One device call: sample all player crops from the frame, build
+    color-prior masks, extract the 4-dim features. boxes are padded to a
+    fixed capacity (invalid rows are zero boxes -> features fall back to
+    the <100px defaults and are dropped on host)."""
+    crops = crop_and_resize(frame, boxes, (CROP_H, CROP_W))
+    masks = color_prior_masks(crops)
+    feats = segmentation_features(crops, masks)
+    return feats, masks
 
 
 class SegmentationTeamClassifier:
@@ -96,3 +114,33 @@ class SegmentationTeamClassifier:
 
     def get_segmentation_masks(self, tracker_ids: List[int]) -> Dict[int, np.ndarray]:
         return {t: self.last_masks[t] for t in tracker_ids if t in self.last_masks}
+
+    # ------------------------------------------------------------------
+    def predict_from_frame(self, frame: np.ndarray, boxes: np.ndarray,
+                           tracker_ids: Optional[np.ndarray] = None,
+                           capacity: int = 32) -> np.ndarray:
+        """TPU fast path: crops are sampled on device straight from the
+        frame (ops/crop_resize) — no per-crop host slicing/resizing. Boxes
+        are padded to a power-of-two capacity so only a handful of XLA
+        programs ever compile."""
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        n = len(boxes)
+        if n == 0:
+            return np.array([])
+        cap = capacity
+        while n > cap:
+            cap *= 2
+        padded = np.zeros((cap, 4), np.float32)
+        padded[:n] = boxes
+        feats, masks = _frame_features(jnp.asarray(frame), jnp.asarray(padded))
+        feats = np.asarray(feats[:n])
+        if self.visualize_segmentation and tracker_ids is not None:
+            masks_np = np.asarray(masks[:n])
+            for i, tid in enumerate(tracker_ids[:n]):
+                if tid is not None:
+                    self.last_masks[int(tid)] = masks_np[i] > 0.5
+        if self.kmeans is not None:
+            teams = self.kmeans.predict(feats)
+        else:
+            teams = np.where(feats[:, 0] > 0.4, 0, 1)
+        return self.vote.update(tracker_ids, teams.astype(np.int64))

@@ -1,0 +1,60 @@
+"""Validation CLI: `python -m hockey_tpu.train.val`.
+
+TPU-native counterpart of `yolo mode=val` (reference notebook cell 18):
+loads a checkpoint + YOLO-format dataset and prints mAP50 / mAP50-95 /
+P / R per class and overall (the exact metrics in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Validate a hockey_tpu detector")
+    p.add_argument("--images", type=str, default=None,
+                   help="images/ dir (labels/ sibling); synthetic if omitted")
+    p.add_argument("--model", type=str, default="hockey-player-detection")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--conf", type=float, default=0.001)
+    p.add_argument("--limit", type=int, default=200,
+                   help="max images to evaluate")
+    p.add_argument("--json", action="store_true", help="print metrics as JSON")
+    args = p.parse_args(argv)
+
+    from ..core.config import Config
+    from ..models.detector import Detector
+    from .data import SyntheticHockeyDataset, YoloDataset
+    from .eval import evaluate_detector
+
+    config = Config()
+    config.detection_imgsz = args.imgsz
+    det = Detector(
+        args.model, config, frame_hw=(args.imgsz, args.imgsz),
+        imgsz=args.imgsz, conf=args.conf, checkpoint=args.checkpoint,
+    )
+
+    if args.images:
+        ds = YoloDataset(args.images, imgsz=args.imgsz)
+        n = min(len(ds), args.limit)
+    else:
+        ds = SyntheticHockeyDataset(imgsz=args.imgsz, seed=0)
+        n = min(args.limit, 50)
+    metrics = evaluate_detector(det, ds, range(n), conf=args.conf)
+    if args.json:
+        print(json.dumps(metrics))
+    else:
+        print(f"images: {n}")
+        print(f"mAP50:    {metrics['mAP50']:.4f}")
+        print(f"mAP50-95: {metrics['mAP50_95']:.4f}")
+        print(f"P / R:    {metrics['precision']:.4f} / {metrics['recall']:.4f}")
+        for k, v in metrics.items():
+            if k.startswith("AP50_class"):
+                print(f"  {k}: {v:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -256,3 +256,49 @@ class TestCropResize:
     def test_standardize_crops_handles_empty(self):
         out = standardize_crops([np.zeros((0, 0, 3), np.uint8), None])
         assert out.shape == (2, 128, 64, 3)
+
+
+class TestFramePredictFastPath:
+    def test_predict_from_frame_matches_crop_predict(self, rng):
+        """Device frame-sampling path must agree with the host-crop path."""
+        from hockey_tpu.teams.segmentation import SegmentationTeamClassifier
+
+        frame = np.full((400, 600, 3), 235, np.uint8)
+        # two players drawn directly in the frame
+        frame[100:226, 100:164] = WHITE
+        frame[100:226, 400:464] = RED
+        boxes = np.asarray([[95, 80, 175, 260], [395, 80, 475, 260]], np.float32)
+
+        clf = SegmentationTeamClassifier()
+        crops = [make_crop(WHITE, noise=6, rng=rng) for _ in range(8)] + \
+                [make_crop(RED, noise=6, rng=rng) for _ in range(8)]
+        clf.fit(crops)
+        fast = clf.predict_from_frame(frame, boxes, np.asarray([1, 2]))
+        host_crops = [frame[80:260, 95:175], frame[80:260, 395:475]]
+        clf2 = SegmentationTeamClassifier()
+        clf2.kmeans = clf.kmeans
+        slow = clf2.predict(host_crops, np.asarray([1, 2]))
+        np.testing.assert_array_equal(fast, slow)
+
+    def test_facade_frame_predict_fallback(self, rng):
+        """Strategies without a fast path fall back to host crops."""
+        frame = np.full((300, 400, 3), 235, np.uint8)
+        frame[50:176, 50:114] = RED
+        boxes = np.asarray([[45, 30, 125, 210]], np.float32)
+        clf = TeamClassifier(use_segmentation=False, use_interactive=False,
+                             use_robust=False, use_hybrid=False)
+        teams = clf.predict_from_frame(frame, boxes, np.asarray([1]))
+        assert len(teams) == 1
+
+    def test_capacity_padding_consistent(self, rng):
+        from hockey_tpu.teams.segmentation import SegmentationTeamClassifier
+
+        clf = SegmentationTeamClassifier()
+        frame = np.full((300, 400, 3), 235, np.uint8)
+        frame[50:176, 50:114] = RED
+        b = np.asarray([[45, 30, 125, 210]], np.float32)
+        one = clf.predict_from_frame(frame, b)
+        # 40 boxes forces the capacity to grow past the default 32
+        many = clf.predict_from_frame(frame, np.repeat(b, 40, 0))
+        assert len(many) == 40
+        assert (many == one[0]).all()
