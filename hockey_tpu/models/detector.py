@@ -18,7 +18,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
-from ..ops.letterbox import letterbox_batch, letterbox_params
+from ..ops.letterbox import (
+    letterbox_batch,
+    letterbox_params,
+    letterbox_rect_batch,
+    rect_letterbox_params,
+    rect_shape,
+)
 from ..ops.nms import Detections, nms
 from .layers import fuse_model
 from .yolov8 import (
@@ -51,8 +57,12 @@ class HostDetections(NamedTuple):
         )
 
 
-def _unmap_boxes(boxes: jnp.ndarray, h: int, w: int, imgsz: int) -> jnp.ndarray:
-    r, _, _, pad_top, pad_left = letterbox_params(h, w, imgsz)
+def _unmap_boxes(boxes: jnp.ndarray, h: int, w: int, imgsz: int,
+                 rect: bool) -> jnp.ndarray:
+    if rect:
+        r, _, _, pad_top, pad_left, _, _ = rect_letterbox_params(h, w, imgsz)
+    else:
+        r, _, _, pad_top, pad_left = letterbox_params(h, w, imgsz)
     pad = jnp.asarray([pad_left, pad_top, pad_left, pad_top], boxes.dtype)
     out = (boxes - pad) / r
     hi = jnp.asarray([w, h, w, h], out.dtype)
@@ -70,22 +80,31 @@ def build_detect_fn(
     max_det: int = 64,
     dtype=jnp.bfloat16,
     with_keypoints: bool = False,
+    rect: bool = True,
 ):
     """Returns jit(params, frames_u8) -> Detections [+ keypoints].
 
     frames_u8: (B, H, W, 3) uint8 RGB/BGR (colorspace-agnostic; training and
     inference just need to agree). All outputs are in original (H, W) frame
     coordinates with fixed max_det capacity.
+
+    `rect=True` (default) letterboxes to the minimal stride-32 rectangle —
+    what ultralytics predict does — instead of an imgsz square; for 16:9
+    video this cuts ~42% of the conv FLOPs with identical geometry.
     """
     h, w = frame_hw
+    in_hw = rect_shape(h, w, imgsz) if rect else (imgsz, imgsz)
     # sequential NMS suppression runs as a Pallas VMEM kernel on TPU
     use_pallas = jax.default_backend() not in ("cpu",)
 
     @jax.jit
     def detect(params: Dict, frames: jnp.ndarray):
-        x = letterbox_batch(frames, imgsz, dtype)
+        if rect:
+            x = letterbox_rect_batch(frames, imgsz, 32, dtype)
+        else:
+            x = letterbox_batch(frames, imgsz, dtype)
         raw = forward_raw(params, x, cfg)
-        boxes, scores = decode_boxes(raw, cfg, imgsz)  # letterboxed coords
+        boxes, scores = decode_boxes(raw, cfg, in_hw)  # letterboxed coords
         max_scores = jnp.max(scores, axis=-1)
         classes = jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
@@ -97,10 +116,10 @@ def build_detect_fn(
             )
 
         det = jax.vmap(one)(boxes, max_scores, classes)
-        det = det._replace(boxes=_unmap_boxes(det.boxes, h, w, imgsz))
+        det = det._replace(boxes=_unmap_boxes(det.boxes, h, w, imgsz, rect))
 
         if with_keypoints:
-            kpts = decode_keypoints(raw, cfg, imgsz)  # (B, A, K, 3)
+            kpts = decode_keypoints(raw, cfg, in_hw)  # (B, A, K, 3)
             # NMS indices are lost inside nms(); recover per-kept-box
             # keypoints by nearest-anchor match on box centers instead:
             # for the rink model there is one instance per frame, so take
@@ -109,7 +128,10 @@ def build_detect_fn(
             k = jnp.take_along_axis(
                 kpts, best[:, None, None, None], axis=1
             )[:, 0]  # (B, K, 3)
-            r, _, _, pt, pl = letterbox_params(h, w, imgsz)
+            if rect:
+                r, _, _, pt, pl, _, _ = rect_letterbox_params(h, w, imgsz)
+            else:
+                r, _, _, pt, pl = letterbox_params(h, w, imgsz)
             xy = (k[..., :2] - jnp.asarray([pl, pt], jnp.float32)) / r
             k = jnp.concatenate([xy, k[..., 2:]], axis=-1)
             return det, k

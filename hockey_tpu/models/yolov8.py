@@ -255,22 +255,24 @@ def forward_raw(
 # Decode (anchor-free, DFL)
 # ---------------------------------------------------------------------------
 
-def anchor_points(imgsz: int, strides: Sequence[int] = STRIDES) -> Tuple[np.ndarray, np.ndarray]:
+def anchor_points(hw, strides: Sequence[int] = STRIDES) -> Tuple[np.ndarray, np.ndarray]:
     """Static anchors: (A, 2) grid-cell centers in stride units and (A,)
-    stride per anchor, concatenated over levels."""
+    stride per anchor, concatenated over levels. `hw` is an int (square
+    input) or an (in_h, in_w) tuple (rectangular letterbox)."""
+    in_h, in_w = (hw, hw) if isinstance(hw, int) else hw
     pts, strs = [], []
     for s in strides:
-        n = imgsz // s
-        ys, xs = np.meshgrid(np.arange(n) + 0.5, np.arange(n) + 0.5, indexing="ij")
+        gh, gw = in_h // s, in_w // s
+        ys, xs = np.meshgrid(np.arange(gh) + 0.5, np.arange(gw) + 0.5, indexing="ij")
         pts.append(np.stack([xs.ravel(), ys.ravel()], axis=-1))
-        strs.append(np.full((n * n,), s, np.float32))
+        strs.append(np.full((gh * gw,), s, np.float32))
     return (np.concatenate(pts).astype(np.float32), np.concatenate(strs))
 
 
 def decode_boxes(
     raw: Dict[str, List[jnp.ndarray]],
     cfg: YoloConfig,
-    imgsz: int,
+    imgsz,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Raw head maps -> (boxes_xyxy (B, A, 4) in letterboxed px,
     class scores (B, A, nc) sigmoided), A = sum of level HW."""
@@ -298,7 +300,7 @@ def decode_boxes(
 
 
 def decode_keypoints(
-    raw: Dict[str, List[jnp.ndarray]], cfg: YoloConfig, imgsz: int
+    raw: Dict[str, List[jnp.ndarray]], cfg: YoloConfig, imgsz
 ) -> jnp.ndarray:
     """Raw kpt maps -> (B, A, K, 3): x, y in letterboxed px + sigmoid conf."""
     assert cfg.num_keypoints > 0

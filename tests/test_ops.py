@@ -157,3 +157,47 @@ class TestNMS:
                    pre_topk=n, max_det=n, exact=False, score_threshold=0.0)
         # fast NMS can only suppress more, never less
         assert int(fast.valid.sum()) <= int(exact.valid.sum())
+
+
+class TestRectLetterbox:
+    def test_rect_shape_1080p(self):
+        from hockey_tpu.ops.letterbox import rect_letterbox_params, rect_shape
+
+        assert rect_shape(1080, 1920, 1280) == (736, 1280)
+        r, nh, nw, pt, pl, ih, iw = rect_letterbox_params(1080, 1920, 1280)
+        assert (nh, nw) == (720, 1280)
+        assert (ih, iw) == (736, 1280)
+        assert pt == 8 and pl == 0
+
+    def test_rect_batch_matches_square_content(self):
+        from hockey_tpu.ops.letterbox import (
+            letterbox_batch,
+            letterbox_rect_batch,
+            letterbox_params,
+            rect_letterbox_params,
+        )
+
+        frames = np.random.default_rng(0).integers(
+            0, 255, (1, 108, 192, 3), dtype=np.uint8)
+        sq = np.asarray(letterbox_batch(jnp.asarray(frames), 128, jnp.float32))
+        rc = np.asarray(letterbox_rect_batch(jnp.asarray(frames), 128, 32, jnp.float32))
+        assert rc.shape == (1, 96, 128, 3)
+        _, nh, nw, spt, spl = letterbox_params(108, 192, 128)
+        _, _, _, rpt, rpl, _, _ = rect_letterbox_params(108, 192, 128)
+        np.testing.assert_allclose(
+            sq[0, spt: spt + nh, spl: spl + nw],
+            rc[0, rpt: rpt + nh, rpl: rpl + nw], atol=1e-4)
+
+    def test_rect_detector_boxes_in_frame_coords(self):
+        from hockey_tpu.core.config import Config
+        from hockey_tpu.models.detector import Detector
+
+        cfg = Config(nms_pre_topk=64, max_detections=8)
+        det = Detector("hockey-puck-detection", cfg, frame_hw=(108, 192),
+                       imgsz=128, conf=0.0001, seed=0)
+        frames = np.random.default_rng(0).integers(
+            0, 255, (1, 108, 192, 3), dtype=np.uint8)
+        out = det.detect_batch(frames)
+        b = np.asarray(out.boxes)
+        assert (b[..., [0, 2]] <= 192 + 1e-3).all()
+        assert (b[..., [1, 3]] <= 108 + 1e-3).all()
