@@ -92,6 +92,48 @@ class LabelAnnotator:
         return scene
 
 
+class StyledLabelAnnotator(LabelAnnotator):
+    """Rounded, alpha-blended label chips with an accent bar.
+
+    Capability parity with the documented `common/styled_label_annotator.py`
+    (reference README.md:67 "Custom label styling"; module absent
+    upstream). Same call signature as LabelAnnotator.
+    """
+
+    def __init__(self, *args, alpha: float = 0.75, corner_radius: int = 6,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.alpha = alpha
+        self.radius = corner_radius
+
+    def annotate(self, scene, boxes, labels, color_lookup=None):
+        boxes = np.asarray(boxes)
+        overlay = scene.copy()
+        geom = []
+        for i, (b, text) in enumerate(zip(boxes.astype(np.int32), labels)):
+            color = self.palette.by_idx(
+                color_lookup[i] if color_lookup is not None else 0)
+            (tw, th), _ = cv2.getTextSize(
+                text, cv2.FONT_HERSHEY_SIMPLEX, self.scale, self.thickness)
+            x1, y1 = int(b[0]), int(b[1])
+            x2 = x1 + tw + 2 * self.padding
+            ty1 = max(y1 - th - 2 * self.padding, 0)
+            r = min(self.radius, (y1 - ty1) // 2, (x2 - x1) // 2)
+            cv2.rectangle(overlay, (x1 + r, ty1), (x2 - r, y1), color, -1)
+            cv2.rectangle(overlay, (x1, ty1 + r), (x2, y1 - r), color, -1)
+            for cx, cy in ((x1 + r, ty1 + r), (x2 - r, ty1 + r),
+                           (x1 + r, y1 - r), (x2 - r, y1 - r)):
+                cv2.circle(overlay, (cx, cy), r, color, -1)
+            cv2.rectangle(overlay, (x1, ty1), (x1 + 3, y1), (255, 255, 255), -1)
+            geom.append((x1, y1, text))
+        scene = cv2.addWeighted(overlay, self.alpha, scene, 1 - self.alpha, 0)
+        for x1, y1, text in geom:
+            cv2.putText(scene, text, (x1 + self.padding + 3, y1 - self.padding),
+                        cv2.FONT_HERSHEY_SIMPLEX, self.scale, self.text_color,
+                        self.thickness, cv2.LINE_AA)
+        return scene
+
+
 def make_annotators(config: Config) -> Tuple[BoxAnnotator, LabelAnnotator]:
     palette = Palette(config.team_colors)
     return (

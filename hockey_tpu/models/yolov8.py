@@ -1,7 +1,7 @@
 """YOLOv8 detect / pose architecture as a pure-functional JAX model.
 
 Capability parity targets (reference usage, SURVEY.md C4/C14/C15):
-- `hockey-player-detection` — YOLOv8l detect, 2 classes (player=0, goalie=1)
+- `hockey-player-detection` — YOLOv8x detect, 2 classes (player=0, goalie=1)
 - `hockey-detection`        — YOLOv8 pose, 1 class, 56 rink keypoints
 - `hockey-puck-detection`   — YOLOv8 detect, 1 class (documented spec only)
 

@@ -165,3 +165,17 @@ class TestDraw:
         LabelAnnotator(pal).annotate(scene, np.asarray([[20, 60, 100, 150]]),
                                      ["HOME"], np.asarray([0]))
         assert (scene[40:60, 20:100] != 0).any()
+
+
+class TestStyledLabelAnnotator:
+    def test_draws_styled_labels(self):
+        from hockey_tpu.annotate.draw import StyledLabelAnnotator
+
+        scene = np.zeros((200, 300, 3), np.uint8)
+        pal = Palette(["#FF1493", "#00BFFF"])
+        ann = StyledLabelAnnotator(pal)
+        out = ann.annotate(scene, np.asarray([[40, 80, 160, 180]]),
+                           ["TOR #12"], np.asarray([1]))
+        assert out.sum() > 0
+        # chip is alpha-blended, never fully saturated
+        assert out.max() <= 255

@@ -202,3 +202,35 @@ class TestShardedTraining:
             _, _, m8 = step8(ps, opt.init(ps), bs)
         np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
                                    rtol=1e-3)
+
+
+class TestDataParallelInference:
+    def test_detect_fn_shards_over_dp(self, rng):
+        """Batched detection sharded over the dp axis of an 8-device mesh
+        must match unsharded results exactly."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hockey_tpu.core.mesh import make_mesh
+        from hockey_tpu.models.detector import build_detect_fn
+        from hockey_tpu.models.layers import fuse_model
+        from hockey_tpu.models.yolov8 import YoloConfig, init_params
+        from hockey_tpu.parallel.sharding import jit_detect_dp
+
+        cfg = YoloConfig("n", num_classes=2)
+        params = fuse_model(init_params(cfg, seed=0))
+        fn = build_detect_fn(cfg, imgsz=64, frame_hw=(48, 96), conf=0.001,
+                             pre_topk=32, max_det=8)
+        frames = rng.integers(0, 255, (8, 48, 96, 3)).astype(np.uint8)
+
+        ref = fn(params, jnp.asarray(frames))
+
+        mesh = make_mesh(8, dp=8, fsdp=1)
+        with mesh:
+            sharded_fn = jit_detect_dp(fn, mesh, params)
+            frames_sh = jax.device_put(
+                jnp.asarray(frames), NamedSharding(mesh, P("dp")))
+            out = sharded_fn(params, frames_sh)
+        np.testing.assert_allclose(np.asarray(out.boxes), np.asarray(ref.boxes),
+                                   atol=1e-2)
+        np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref.valid))
