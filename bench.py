@@ -39,7 +39,7 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     best_fps = 0.0
-    for batch in (8, 16):
+    for batch in (32, 64):
         fn = build_detect_fn(
             cfg,
             imgsz=config.detection_imgsz,
