@@ -291,8 +291,10 @@ class VideoProcessor:
                 yield self.process_frame(frame)
             return
 
-        for frames, n in batched_frame_generator(source_path, b,
-                                                 start=start_frame):
+        from .video.io import prefetched
+
+        for frames, n in prefetched(
+                batched_frame_generator(source_path, b, start=start_frame)):
             with self.timers.stage("detect"):
                 batch_det = self.player_detector.detect_batch(frames)
                 dets = [HostDetections.from_padded(batch_det, i) for i in range(n)]

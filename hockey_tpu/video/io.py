@@ -79,6 +79,32 @@ def batched_frame_generator(path: str, batch: int, stride: int = 1,
         yield np.stack(buf), n
 
 
+def prefetched(generator, depth: int = 2):
+    """Run a generator on a background thread with a bounded queue so host
+    video decode overlaps device compute (the reference decodes inline on
+    the single processing thread)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in generator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
 class VideoSink:
     """mp4 writer (reference: sv.VideoSink)."""
 
