@@ -91,10 +91,12 @@ class TrainConfig:
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    # warmup must fit inside the run (optax requires decay_steps > warmup)
+    warmup = max(1, min(tc.warmup_steps, tc.total_steps // 2))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=tc.learning_rate,
-        warmup_steps=tc.warmup_steps,
+        warmup_steps=warmup,
         decay_steps=tc.total_steps,
         end_value=tc.learning_rate * tc.final_lr_frac,
     )
