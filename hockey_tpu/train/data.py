@@ -141,7 +141,10 @@ class SyntheticHockeyDataset:
         n = int(rng.integers(3, 12))
         boxes, classes = [], []
         for j in range(n):
-            w = int(rng.integers(s // 24, s // 10))
+            # player-plausible scales (objects spanning several strides;
+            # sub-stride objects make TAL's iou^6 alignment underflow and
+            # stall training — same as real v8)
+            w = int(rng.integers(s // 10, s // 4))
             h = int(w * rng.uniform(1.8, 2.6))
             x = int(rng.integers(0, s - w))
             y = int(rng.integers(0, s - h))
