@@ -192,3 +192,38 @@ class TestCLI:
 
         with pytest.raises(FileNotFoundError):
             cli.main(["--source_path", "/nonexistent.mp4", "--headless"])
+
+
+class TestBatchedSequentialParity:
+    def test_batched_equals_sequential_output(self, clip):
+        """frame_batch=8 must produce byte-identical frames to the
+        sequential path (same detections drive the same host stages)."""
+        def run(batch):
+            cfg = small_config()
+            cfg.frame_batch = batch
+            p = VideoProcessor(config=cfg, mode=ProcessingMode.PLAYER_TRACKING,
+                               frame_hw=(H, W), player_detector=StubDetector(),
+                               team_names=("A", "B"))
+            return [f.copy() for f in p.process_video(clip)]
+
+        seq = run(1)
+        bat = run(8)
+        assert len(seq) == len(bat) == 40
+        for i, (a, b) in enumerate(zip(seq, bat)):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {i} differs")
+
+
+class TestProfileFlag:
+    def test_profile_writes_trace(self, clip, tmp_path, monkeypatch):
+        import os
+
+        import hockey_tpu.cli.main as cli
+        import hockey_tpu.pipeline as pl
+
+        monkeypatch.setattr(pl, "Detector", lambda *a, **k: StubDetector())
+        trace_dir = str(tmp_path / "trace")
+        rc = cli.main(["--source_path", clip, "--mode", "PLAYER_TRACKING",
+                       "--headless", "--limit-frames", "3",
+                       "--profile", trace_dir])
+        assert rc == 0
+        assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
