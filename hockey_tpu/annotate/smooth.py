@@ -10,7 +10,7 @@ Contract matches the reference smooth_annotator.py:8-93:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -31,7 +31,7 @@ import numpy as np
 
 from ..rinkmap.dimensions import default_keypoint_positions
 from .ransac import homography_from_keypoints, ransac_homography
-from .stabilizer import HomographyStabilizer, homography_distance
+from .stabilizer import HomographyStabilizer
 
 
 @dataclasses.dataclass

@@ -8,8 +8,6 @@ convenience transforms for points/boxes in both directions.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from .ransac import project

@@ -10,7 +10,6 @@ twice (frames in, fixed-size detections out).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax

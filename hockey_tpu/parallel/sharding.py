@@ -17,14 +17,12 @@ batch (each chip letterboxes + detects its shard; results gather on host).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.mesh import DP_AXIS, FSDP_AXIS, make_mesh
+from ..core.mesh import DP_AXIS, FSDP_AXIS
 
 
 def param_pspec(path, leaf, fsdp: int) -> P:

@@ -14,7 +14,6 @@ N sequential model calls.
 
 from __future__ import annotations
 
-import functools
 from collections import deque
 from typing import List, Optional, Tuple
 

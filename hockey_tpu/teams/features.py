@@ -12,9 +12,6 @@ definitions (documented per function) so fitted clusterers transfer.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

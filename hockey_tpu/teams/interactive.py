@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.color import bgr_to_hsv
-from .base import standardize_crops, to_device_batch
+from .base import to_device_batch
 from .features import _hist
 
 # feature block layout in the packed vector

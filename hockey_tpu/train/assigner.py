@@ -14,12 +14,12 @@ batch — no data-dependent shapes under jit.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.iou import box_iou, ciou
+from ..ops.iou import box_iou
 
 
 class AssignResult(NamedTuple):

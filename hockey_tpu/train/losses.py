@@ -8,7 +8,6 @@ All in grid units (stride-normalized), fixed shapes, f32 accumulation.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax

@@ -15,12 +15,10 @@ a psum across the mesh, giving sync-BN for free.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..models.layers import StatsCollector
