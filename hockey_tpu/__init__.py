@@ -23,3 +23,29 @@ combinatorics. Multi-chip scaling is data-parallel frame batching over a
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax/cv2 until first use)."""
+    _exports = {
+        "Config": ("hockey_tpu.core.config", "Config"),
+        "ProcessingMode": ("hockey_tpu.core.config", "ProcessingMode"),
+        "VideoProcessor": ("hockey_tpu.pipeline", "VideoProcessor"),
+        "MultiClipProcessor": ("hockey_tpu.multiclip", "MultiClipProcessor"),
+        "Detector": ("hockey_tpu.models.detector", "Detector"),
+        "ModelManager": ("hockey_tpu.models.manager", "ModelManager"),
+        "ByteTrack": ("hockey_tpu.tracking.bytetrack", "ByteTrack"),
+        "TeamClassifier": ("hockey_tpu.teams.facade", "TeamClassifier"),
+        "RinkKeypointDetector": ("hockey_tpu.homography.keypoints",
+                                 "RinkKeypointDetector"),
+        "ViewTransformer": ("hockey_tpu.homography.view", "ViewTransformer"),
+        "RinkRenderer": ("hockey_tpu.rinkmap.renderer", "RinkRenderer"),
+        "PuckPipeline": ("hockey_tpu.slicing.sahi", "PuckPipeline"),
+        "PuckTracker": ("hockey_tpu.slicing.sahi", "PuckTracker"),
+    }
+    if name in _exports:
+        import importlib
+
+        module, attr = _exports[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'hockey_tpu' has no attribute {name!r}")

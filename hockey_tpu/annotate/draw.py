@@ -92,6 +92,30 @@ class LabelAnnotator:
         return scene
 
 
+class EllipseAnnotator:
+    """Ground-ellipse annotator under each player (the reference's
+    SmoothAnnotator accepts sv.EllipseAnnotator interchangeably with
+    sv.BoxAnnotator — smooth_annotator.py:14). Draws the broadcast-style
+    partial ellipse at the box's bottom edge."""
+
+    def __init__(self, palette: Palette, thickness: int = 2):
+        self.palette = palette
+        self.thickness = thickness
+
+    def annotate(self, scene: np.ndarray, boxes: np.ndarray,
+                 color_lookup: Optional[np.ndarray] = None) -> np.ndarray:
+        boxes = np.asarray(boxes)
+        for i, b in enumerate(boxes.astype(np.int32)):
+            color = self.palette.by_idx(
+                color_lookup[i] if color_lookup is not None else 0)
+            cx = (b[0] + b[2]) // 2
+            w = max(b[2] - b[0], 2)
+            cv2.ellipse(scene, (int(cx), int(b[3])),
+                        (int(w * 0.6), int(w * 0.22)), 0.0, -45.0, 235.0,
+                        color, self.thickness, cv2.LINE_AA)
+        return scene
+
+
 class StyledLabelAnnotator(LabelAnnotator):
     """Rounded, alpha-blended label chips with an accent bar.
 

@@ -179,3 +179,15 @@ class TestStyledLabelAnnotator:
         assert out.sum() > 0
         # chip is alpha-blended, never fully saturated
         assert out.max() <= 255
+
+
+class TestEllipseAnnotator:
+    def test_draws_ground_ellipse(self):
+        from hockey_tpu.annotate.draw import EllipseAnnotator
+
+        scene = np.zeros((200, 200, 3), np.uint8)
+        EllipseAnnotator(Palette(["#00BFFF"])).annotate(
+            scene, np.asarray([[50, 40, 110, 160]]), np.asarray([0]))
+        # ellipse sits at the bottom edge of the box
+        assert scene[150:175, 40:130].sum() > 0
+        assert scene[:120].sum() == 0
