@@ -191,3 +191,18 @@ class TestEllipseAnnotator:
         # ellipse sits at the bottom edge of the box
         assert scene[150:175, 40:130].sum() > 0
         assert scene[:120].sum() == 0
+
+
+class TestAnnotationManager:
+    def test_annotate_frame(self):
+        from hockey_tpu.annotate.manager import AnnotationManager
+        from hockey_tpu.core.config import Config
+
+        mgr = AnnotationManager(Config())
+        frame = np.zeros((200, 300, 3), np.uint8)
+        boxes = np.asarray([[40, 40, 100, 160], [150, 40, 210, 160]], np.float32)
+        out = mgr.annotate_frame(
+            frame, boxes, ["TOR", "Goalie"], np.asarray([0, 2]),
+            tracker_ids=np.asarray([1, 2]), confidences=np.asarray([0.9, 0.8]))
+        assert out.sum() > 0
+        assert frame.sum() == 0, "input frame must not be mutated"
