@@ -5,6 +5,14 @@ invocation (notebooks/train_player_detection.ipynb cell 15): cosine LR,
 HSV + flip augmentation, periodic checkpointing, optional (dp x fsdp)
 mesh sharding. Works against a YOLO-format dataset directory or the
 synthetic dataset when none is given.
+
+Recipe notes: the default --lr 0.01 matches ultralytics SGD lr0 and suits
+real datasets. On the small synthetic dataset, long runs at lr 0.01 can
+fall into TAL's degenerate minimum (worse boxes shrink the task-aligned
+targets, which shrinks the loss — the model learns to predict nothing);
+--lr 0.001 trains stably there (2500 steps of the n variant reaches
+mAP50 ~0.50 via train.val). Real-scale objects/datasets don't exhibit
+this (initial IoUs are large enough that targets never collapse).
 """
 
 from __future__ import annotations
