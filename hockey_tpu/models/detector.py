@@ -79,6 +79,7 @@ def build_detect_fn(
     max_det: int = 64,
     dtype=jnp.bfloat16,
     with_keypoints: bool = False,
+    with_team_features: bool = False,
     rect: bool = True,
 ):
     """Returns jit(params, frames_u8) -> Detections [+ keypoints].
@@ -116,6 +117,25 @@ def build_detect_fn(
 
         det = jax.vmap(one)(boxes, max_scores, classes)
         det = det._replace(boxes=_unmap_boxes(det.boxes, h, w, imgsz, rect))
+
+        if with_team_features:
+            # fold the team classifier's per-detection features into the
+            # same program: crop every padded detection slot from the
+            # original frame, color-prior mask, 4-dim segmentation feature
+            # (teams/features.py). TEAM_CLASSIFICATION becomes ONE device
+            # call per frame batch.
+            from ..teams.base import CROP_H, CROP_W
+            from ..teams.features import color_prior_masks, segmentation_features
+            from ..ops.crop_resize import crop_and_resize
+
+            def feats_one(frame, bx):
+                crops = crop_and_resize(frame.astype(jnp.float32), bx,
+                                        (CROP_H, CROP_W))
+                masks = color_prior_masks(crops)
+                return segmentation_features(crops, masks)
+
+            team_feats = jax.vmap(feats_one)(frames, det.boxes)
+            return det, team_feats
 
         if with_keypoints:
             kpts = decode_keypoints(raw, cfg, in_hw)  # (B, A, K, 3)
@@ -159,6 +179,7 @@ class Detector:
         conf: Optional[float] = None,
         max_det: Optional[int] = None,
         fuse: bool = True,
+        with_team_features: bool = False,
         seed: int = 0,
     ):
         self.config = config or Config()
@@ -184,7 +205,9 @@ class Detector:
             pre_topk=self.config.nms_pre_topk,
             max_det=max_det or self.config.max_detections,
             with_keypoints=self.cfg.num_keypoints > 0,
+            with_team_features=with_team_features,
         )
+        self.with_team_features = with_team_features
 
     def detect_batch(self, frames: np.ndarray):
         """(B, H, W, 3) uint8 -> padded device Detections (+ keypoints)."""

@@ -62,9 +62,12 @@ class VideoProcessor:
         self.frame_hw = frame_hw
         self.timers = StageTimers()
 
+        # TEAM_CLASSIFICATION fuses per-detection team features into the
+        # detection megastep: one device call per frame batch
+        fuse_teams = self.mode == ProcessingMode.TEAM_CLASSIFICATION
         self.player_detector = player_detector or Detector(
             self.config.player_model_name, self.config, frame_hw=frame_hw,
-            checkpoint=checkpoint, seed=seed,
+            checkpoint=checkpoint, seed=seed, with_team_features=fuse_teams,
         )
         self.rink_detector = None
         if enable_rink_keypoints or show_2d_map:
@@ -181,10 +184,13 @@ class VideoProcessor:
 
     # ------------------------------------------------------------------
     def process_frame(self, frame: np.ndarray,
-                      det: Optional[HostDetections] = None) -> np.ndarray:
+                      det: Optional[HostDetections] = None,
+                      team_feats: Optional[np.ndarray] = None) -> np.ndarray:
         """One frame through the mode's host stages. `det` carries batched
         megastep output when the caller pre-detected; None falls back to a
-        single-frame device call (reference-sequential behavior)."""
+        single-frame device call (reference-sequential behavior).
+        `team_feats` (n, 4) rows align with `det` when the megastep fused
+        team features."""
         if self.mode == ProcessingMode.PUCK_DETECTION:
             return self.puck_pipeline.process_frame(frame)
 
@@ -227,10 +233,18 @@ class VideoProcessor:
             player_team_ids = np.array([], dtype=np.int64)
             if pmask.any():
                 with self.timers.stage("teams"):
-                    player_team_ids = self.team_classifier.predict_from_frame(
-                        frame, boxes[pmask], tracker_ids=tids[pmask],
-                        positions=self._positions(boxes[pmask]),
-                    )
+                    if (team_feats is not None
+                            and self.team_classifier.supports_fused_features()):
+                        # fused path: features came out of the megastep;
+                        # join via the tracker's detection indices
+                        tf = team_feats[self.tracker.last_indices][pmask]
+                        player_team_ids = self.team_classifier.predict_features(
+                            tf, tracker_ids=tids[pmask])
+                    else:
+                        player_team_ids = self.team_classifier.predict_from_frame(
+                            frame, boxes[pmask], tracker_ids=tids[pmask],
+                            positions=self._positions(boxes[pmask]),
+                        )
             # merge order: players then goalies (reference main.py:287-288)
             order = np.concatenate([np.flatnonzero(pmask), np.flatnonzero(gmask)])
             boxes, scores, classes, tids = (boxes[order], scores[order],
@@ -293,19 +307,27 @@ class VideoProcessor:
 
         from .video.io import prefetched
 
+        fused = getattr(self.player_detector, "with_team_features", False)
         for frames, n in prefetched(
                 batched_frame_generator(source_path, b, start=start_frame)):
             with self.timers.stage("detect"):
-                batch_det = self.player_detector.detect_batch(frames)
+                out = self.player_detector.detect_batch(frames)
+                batch_det, batch_feats = out if fused else (out, None)
+                valid = np.asarray(batch_det.valid)
                 dets = [HostDetections.from_padded(batch_det, i) for i in range(n)]
+                feats_np = None if batch_feats is None else np.asarray(batch_feats)
             for i in range(n):
                 d = dets[i]
                 keep = ((d.classes == PLAYER_CLASS_ID)
                         | (d.classes == GOALKEEPER_CLASS_ID))
                 keep &= d.scores > self.config.detection_confidence
+                tf = None
+                if feats_np is not None:
+                    tf = feats_np[i][valid[i]][keep]
                 yield self.process_frame(
                     frames[i],
                     HostDetections(d.boxes[keep], d.scores[keep], d.classes[keep]),
+                    team_feats=tf,
                 )
 
 

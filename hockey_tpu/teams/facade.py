@@ -144,6 +144,15 @@ class TeamClassifier:
                     except Exception:
                         pass
 
+    def supports_fused_features(self) -> bool:
+        """True when the active strategy can classify the megastep's fused
+        per-detection features directly (segmentation's 4-dim vector)."""
+        return hasattr(self._impl, "predict_features")
+
+    def predict_features(self, feats: np.ndarray,
+                         tracker_ids: Optional[np.ndarray] = None) -> np.ndarray:
+        return self._impl.predict_features(feats, tracker_ids)
+
     def predict_from_frame(self, frame: np.ndarray, boxes: np.ndarray,
                            tracker_ids: Optional[np.ndarray] = None,
                            positions=None) -> np.ndarray:

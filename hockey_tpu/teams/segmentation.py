@@ -116,6 +116,21 @@ class SegmentationTeamClassifier:
         return {t: self.last_masks[t] for t in tracker_ids if t in self.last_masks}
 
     # ------------------------------------------------------------------
+    def predict_features(self, feats: np.ndarray,
+                         tracker_ids: Optional[np.ndarray] = None) -> np.ndarray:
+        """Classify precomputed 4-dim segmentation features (the detection
+        megastep emits them fused — models/detector.py with_team_features):
+        nearest-kmeans-center + temporal vote, zero extra device calls."""
+        feats = np.asarray(feats, np.float32).reshape(-1, 4)
+        if len(feats) == 0:
+            return np.array([])
+        if self.kmeans is not None:
+            teams = self.kmeans.predict(feats)
+        else:
+            teams = np.where(feats[:, 0] > 0.4, 0, 1)
+        return self.vote.update(tracker_ids, teams.astype(np.int64))
+
+    # ------------------------------------------------------------------
     def predict_from_frame(self, frame: np.ndarray, boxes: np.ndarray,
                            tracker_ids: Optional[np.ndarray] = None,
                            capacity: int = 32) -> np.ndarray:

@@ -93,6 +93,10 @@ class ByteTrack:
         self.tracks: List[_Track] = []
         self._next_id = 1
         self.frame_id = 0
+        # indices into the last update()'s input detections for each
+        # returned row (lets callers join per-detection side data, e.g.
+        # megastep team features, back onto tracked outputs)
+        self.last_indices = np.zeros(0, np.int32)
 
     @classmethod
     def from_config(cls, config: Config, **overrides) -> "ByteTrack":
@@ -241,9 +245,11 @@ class ByteTrack:
         if not out:
             z4 = np.zeros((0, 4), np.float32)
             z = np.zeros((0,), np.float32)
+            self.last_indices = np.zeros(0, np.int32)
             return z4, z, z.astype(np.int32), z.astype(np.int32)
 
         out.sort(key=lambda td: td[1])
         idx = np.asarray([d for _, d in out], np.int32)
         ids = np.asarray([t.track_id for t, _ in out], np.int32)
+        self.last_indices = idx
         return boxes[idx], scores[idx], classes[idx], ids

@@ -227,3 +227,39 @@ class TestProfileFlag:
                        "--profile", trace_dir])
         assert rc == 0
         assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
+
+
+class TestFusedTeamFeatures:
+    def test_fused_megastep_drives_team_classification(self, clip, rng):
+        """When the detector emits fused team features, the pipeline must
+        classify from them (no per-frame crop device call) and produce the
+        same team ids as the crop path."""
+        from hockey_tpu.teams.segmentation import SegmentationTeamClassifier
+
+        class FusedStub(StubDetector):
+            with_team_features = True
+
+            def detect_batch(self, frames):
+                det = super().detect_batch(frames)
+                n, m = det.boxes.shape[:2]
+                feats = np.zeros((n, m, 4), np.float32)
+                # white_ratio feature: players at odd j are red (j%2==1)
+                for i in range(n):
+                    for k in range(N_PLAYERS):
+                        is_red = k % 2 == 1
+                        feats[i, k] = [0.05 if is_red else 0.9,
+                                       0.0, 180.0 if is_red else 5.0, 150.0]
+                return det, feats
+
+        cfg = small_config()
+        cfg.frame_batch = 8
+        p = VideoProcessor(config=cfg, mode=ProcessingMode.TEAM_CLASSIFICATION,
+                           frame_hw=(H, W), player_detector=FusedStub(),
+                           team_names=("A", "B"))
+        # unfitted kmeans -> white_ratio>0.4 rule applies to fused features
+        frames = list(p.process_video(clip))
+        assert len(frames) == 40
+        # vote histories were driven through predict_features
+        impl = p.team_classifier._impl
+        assert isinstance(impl, SegmentationTeamClassifier)
+        assert len(impl.vote.history) > 0
