@@ -54,6 +54,19 @@ def zone_of(idx: int) -> str:
     return "unknown"
 
 
+def keypoints_from_array(kpts: np.ndarray,
+                         conf_threshold: float = 0.5) -> List[RinkKeypoint]:
+    """(56, 3) raw keypoints (e.g. a dual-megastep row) -> filtered
+    RinkKeypoint list (same semantics as detect_keypoints)."""
+    out = []
+    for i, (x, y, c) in enumerate(np.asarray(kpts)):
+        if c < conf_threshold:
+            continue
+        z = zone_of(i)
+        out.append(RinkKeypoint(i, f"{z}_kpt_{i}", (float(x), float(y)), float(c)))
+    return out
+
+
 class RinkKeypointDetector:
     """Wraps the pose-model megastep; one device call per frame batch."""
 

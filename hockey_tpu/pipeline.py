@@ -65,19 +65,33 @@ class VideoProcessor:
         # TEAM_CLASSIFICATION fuses per-detection team features into the
         # detection megastep: one device call per frame batch
         fuse_teams = self.mode == ProcessingMode.TEAM_CLASSIFICATION
-        self.player_detector = player_detector or Detector(
-            self.config.player_model_name, self.config, frame_hw=frame_hw,
-            checkpoint=checkpoint, seed=seed, with_team_features=fuse_teams,
-        )
+        want_rink = enable_rink_keypoints or show_2d_map
+        # with rink keypoints on, both models share ONE dual megastep
+        self.use_dual = want_rink and player_detector is None \
+            and self.mode != ProcessingMode.PUCK_DETECTION
         self.rink_detector = None
-        if enable_rink_keypoints or show_2d_map:
-            from .homography.keypoints import RinkKeypointDetector
+        if self.use_dual:
+            from .models.dual import DualDetector
 
-            self.rink_detector = RinkKeypointDetector(
-                self.config.hockey_model_name, self.config,
-                frame_hw=frame_hw, checkpoint=rink_checkpoint,
+            self.player_detector = DualDetector(
+                self.config, frame_hw=frame_hw, checkpoint=checkpoint,
+                rink_checkpoint=rink_checkpoint,
+                with_team_features=fuse_teams, seed=seed,
             )
-            print("Rink keypoint detection enabled")
+            print("Rink keypoint detection enabled (dual megastep)")
+        else:
+            self.player_detector = player_detector or Detector(
+                self.config.player_model_name, self.config, frame_hw=frame_hw,
+                checkpoint=checkpoint, seed=seed, with_team_features=fuse_teams,
+            )
+            if want_rink:
+                from .homography.keypoints import RinkKeypointDetector
+
+                self.rink_detector = RinkKeypointDetector(
+                    self.config.hockey_model_name, self.config,
+                    frame_hw=frame_hw, checkpoint=rink_checkpoint,
+                )
+                print("Rink keypoint detection enabled")
 
         # 2D overhead map (--show-2d-map, README.md:128; no reference code)
         self.show_2d_map = show_2d_map
@@ -185,18 +199,22 @@ class VideoProcessor:
     # ------------------------------------------------------------------
     def process_frame(self, frame: np.ndarray,
                       det: Optional[HostDetections] = None,
-                      team_feats: Optional[np.ndarray] = None) -> np.ndarray:
+                      team_feats: Optional[np.ndarray] = None,
+                      rink_kpts: Optional[np.ndarray] = None) -> np.ndarray:
         """One frame through the mode's host stages. `det` carries batched
         megastep output when the caller pre-detected; None falls back to a
         single-frame device call (reference-sequential behavior).
         `team_feats` (n, 4) rows align with `det` when the megastep fused
-        team features."""
+        team features; `rink_kpts` (56, 3) is this frame's row of the dual
+        megastep's keypoint output."""
         if self.mode == ProcessingMode.PUCK_DETECTION:
             return self.puck_pipeline.process_frame(frame)
 
         if det is None:
             with self.timers.stage("detect"):
                 det = self.detect_players(frame)
+                if self.use_dual and rink_kpts is None:
+                    rink_kpts = self.player_detector.last_keypoints[0]
         self.timers.count("detections", len(det))
 
         if self.mode == ProcessingMode.PLAYER_DETECTION:
@@ -263,12 +281,22 @@ class VideoProcessor:
             gmask = classes == GOALKEEPER_CLASS_ID
 
         kpts = None
-        if self.rink_detector is not None:
+        if self.rink_detector is not None or rink_kpts is not None:
+            from .homography.keypoints import (
+                RinkKeypointDetector,
+                keypoints_from_array,
+            )
+
             with self.timers.stage("keypoints"):
-                kpts = self.rink_detector.detect_keypoints(
-                    frame, conf_threshold=self.config.keypoint_confidence_threshold)
+                if rink_kpts is not None:  # dual megastep already computed them
+                    kpts = keypoints_from_array(
+                        rink_kpts, self.config.keypoint_confidence_threshold)
+                else:
+                    kpts = self.rink_detector.detect_keypoints(
+                        frame,
+                        conf_threshold=self.config.keypoint_confidence_threshold)
                 if kpts:
-                    frame = self.rink_detector.visualize_keypoints(
+                    frame = RinkKeypointDetector.visualize_keypoints(
                         frame, kpts, radius=self.config.keypoint_radius,
                         show_labels=True)
                     self.timers.count("keypoints", len(kpts))
@@ -316,6 +344,8 @@ class VideoProcessor:
                 valid = np.asarray(batch_det.valid)
                 dets = [HostDetections.from_padded(batch_det, i) for i in range(n)]
                 feats_np = None if batch_feats is None else np.asarray(batch_feats)
+            kpts_np = (self.player_detector.last_keypoints
+                       if self.use_dual else None)
             for i in range(n):
                 d = dets[i]
                 keep = ((d.classes == PLAYER_CLASS_ID)
@@ -328,6 +358,7 @@ class VideoProcessor:
                     frames[i],
                     HostDetections(d.boxes[keep], d.scores[keep], d.classes[keep]),
                     team_feats=tf,
+                    rink_kpts=None if kpts_np is None else kpts_np[i],
                 )
 
 

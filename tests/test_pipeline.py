@@ -263,3 +263,49 @@ class TestFusedTeamFeatures:
         impl = p.team_classifier._impl
         assert isinstance(impl, SegmentationTeamClassifier)
         assert len(impl.vote.history) > 0
+
+
+class TestDualMegastep:
+    def test_dual_keypoints_consumed(self, rng):
+        """A pipeline given precomputed rink keypoints must draw them and
+        feed the 2D-map calibrator without a second detector."""
+        p = VideoProcessor(
+            config=small_config(), mode=ProcessingMode.PLAYER_TRACKING,
+            frame_hw=(H, W), player_detector=StubDetector(),
+            team_names=("A", "B"))
+        kpts = np.zeros((56, 3), np.float32)
+        kpts[:, 0] = np.linspace(50, W - 50, 56)
+        kpts[:, 1] = H / 2
+        kpts[:, 2] = 0.9
+        out = p.process_frame(make_frame(0), rink_kpts=kpts)
+        assert out.shape == (H, W, 3)
+        s = p.timers.summary()
+        assert s["counters"].get("keypoints", 0) == 56
+
+    def test_dual_detector_small_models_cpu(self):
+        """DualDetector end-to-end on tiny zoo configs (CPU backend)."""
+        import hockey_tpu.models.dual as dual
+        from hockey_tpu.models.yolov8 import MODEL_ZOO, YoloConfig
+
+        cfg = small_config()
+        cfg.detection_imgsz = 64
+        cfg.nms_pre_topk = 32
+        cfg.max_detections = 8
+        cfg.player_model_name = "hockey-puck-detection"  # s-scale, smaller
+        tiny_pose = YoloConfig("n", num_classes=1, num_keypoints=56)
+        orig = dict(MODEL_ZOO)
+        MODEL_ZOO["hockey-puck-detection"] = YoloConfig("n", num_classes=2)
+        MODEL_ZOO["hockey-detection"] = tiny_pose
+        try:
+            d = dual.DualDetector(cfg, frame_hw=(48, 96))
+            frames = np.random.default_rng(0).integers(
+                0, 255, (2, 48, 96, 3)).astype(np.uint8)
+            det, feats = d.detect_batch(frames)
+            assert det.boxes.shape == (2, 8, 4)
+            assert feats.shape == (2, 8, 4)
+            assert d.last_keypoints.shape == (2, 56, 3)
+            host = d.detect(frames[0])
+            assert host.boxes.shape[1] == 4
+        finally:
+            MODEL_ZOO.clear()
+            MODEL_ZOO.update(orig)
