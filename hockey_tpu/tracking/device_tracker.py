@@ -1,0 +1,290 @@
+"""On-device ByteTrack: the whole tracker state lives in device arrays and
+one jitted step runs KF predict/update, the IoU cost matrix, and two-stage
+association per frame (the north-star design: "ByteTrack association runs
+as vectorized XLA ops over all tracks per frame").
+
+Semantics follow tracking/bytetrack.py (same thresholds, lost-buffer and
+min-consecutive-frames rules) with one documented divergence: association
+is greedy-by-IoU instead of Hungarian — a static-shape, loop-free-enough
+formulation for XLA. For tracker-scale problems the two disagree only on
+near-ties; the host tracker remains the default, this one is for fully
+device-resident pipelines (detections never leave the chip between the
+megastep and tracking).
+
+All shapes are static: a fixed-capacity track table (MAX_TRACKS slots) and
+the megastep's padded detection set.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.iou import box_iou
+
+
+class TrackState(NamedTuple):
+    mean: jnp.ndarray       # (T, 8) xyah + velocities
+    cov: jnp.ndarray        # (T, 8, 8)
+    track_id: jnp.ndarray   # (T,) int32; 0 = free slot
+    active: jnp.ndarray     # (T,) bool — slot holds a live track
+    tracked: jnp.ndarray    # (T,) bool — TRACKED (else LOST)
+    consecutive: jnp.ndarray  # (T,) int32
+    activated: jnp.ndarray  # (T,) bool — emitted at least once
+    missed: jnp.ndarray     # (T,) int32 frames since last update
+    class_id: jnp.ndarray   # (T,) int32
+    score: jnp.ndarray      # (T,) f32
+    next_id: jnp.ndarray    # () int32
+
+
+def init_state(capacity: int = 64) -> TrackState:
+    t = capacity
+    return TrackState(
+        mean=jnp.zeros((t, 8), jnp.float32),
+        cov=jnp.zeros((t, 8, 8), jnp.float32),
+        track_id=jnp.zeros((t,), jnp.int32),
+        active=jnp.zeros((t,), bool),
+        tracked=jnp.zeros((t,), bool),
+        consecutive=jnp.zeros((t,), jnp.int32),
+        activated=jnp.zeros((t,), bool),
+        missed=jnp.zeros((t,), jnp.int32),
+        class_id=jnp.zeros((t,), jnp.int32),
+        score=jnp.zeros((t,), jnp.float32),
+        next_id=jnp.asarray(1, jnp.int32),
+    )
+
+
+# --- KF pieces (same constants as tracking/kalman.py) ----------------------
+_STD_POS, _STD_VEL = 1.0 / 20.0, 1.0 / 160.0
+_F = np.eye(8, dtype=np.float32)
+_F[:4, 4:] = np.eye(4, dtype=np.float32)
+
+
+def _xyxy_to_xyah(b):
+    w = b[..., 2] - b[..., 0]
+    h = jnp.maximum(b[..., 3] - b[..., 1], 1e-6)
+    return jnp.stack([b[..., 0] + w / 2, b[..., 1] + h / 2, w / h, h], -1)
+
+
+def _xyah_to_xyxy(m):
+    cx, cy, a, h = m[..., 0], m[..., 1], m[..., 2], m[..., 3]
+    w = a * h
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def _motion_q(mean):
+    h = mean[:, 3:4]
+    std = jnp.concatenate([
+        _STD_POS * h, _STD_POS * h, jnp.full_like(h, 1e-2), _STD_POS * h,
+        _STD_VEL * h, _STD_VEL * h, jnp.full_like(h, 1e-5), _STD_VEL * h,
+    ], axis=1)
+    return jax.vmap(jnp.diag)(std ** 2)
+
+
+def _kf_predict(mean, cov):
+    f = jnp.asarray(_F)
+    return mean @ f.T, jnp.einsum("ij,tjk,lk->til", f, cov, f) + _motion_q(mean)
+
+
+def _kf_update(mean, cov, meas):
+    h = mean[:, 3:4]
+    std = jnp.concatenate([
+        _STD_POS * h, _STD_POS * h, jnp.full_like(h, 1e-1), _STD_POS * h,
+    ], axis=1)
+    r = jax.vmap(jnp.diag)(std ** 2)
+    s = cov[:, :4, :4] + r
+    k = jnp.linalg.solve(
+        s.transpose(0, 2, 1), cov[:, :, :4].transpose(0, 2, 1)
+    ).transpose(0, 2, 1)                                  # (T, 8, 4)
+    innov = meas - mean[:, :4]
+    mean2 = mean + jnp.einsum("tij,tj->ti", k, innov)
+    cov2 = cov - jnp.einsum("tij,tjk->tik", k, cov[:, :4, :])
+    return mean2, cov2
+
+
+def _init_cov(xyah):
+    h = xyah[:, 3:4]
+    std = jnp.concatenate([
+        2 * _STD_POS * h, 2 * _STD_POS * h, jnp.full_like(h, 1e-2), 2 * _STD_POS * h,
+        10 * _STD_VEL * h, 10 * _STD_VEL * h, jnp.full_like(h, 1e-5), 10 * _STD_VEL * h,
+    ], axis=1)
+    return jax.vmap(jnp.diag)(std ** 2)
+
+
+def _greedy_match(iou: jnp.ndarray, row_ok, col_ok, gate: float,
+                  rounds: int) -> jnp.ndarray:
+    """Greedy maximum-IoU matching. Returns col index per row (-1 = no
+    match). `rounds` = static upper bound on matches."""
+    t, d = iou.shape
+    m = jnp.where(row_ok[:, None] & col_ok[None, :], iou, -1.0)
+    assign = jnp.full((t,), -1, jnp.int32)
+
+    def body(_, carry):
+        m, assign = carry
+        flat = jnp.argmax(m)
+        i, j = flat // d, flat % d
+        best = m[i, j]
+        take = best >= gate
+        assign = jnp.where(take, assign.at[i].set(j.astype(jnp.int32)), assign)
+        m = jnp.where(take, m.at[i, :].set(-1.0).at[:, j].set(-1.0), m)
+        return m, assign
+
+    _, assign = jax.lax.fori_loop(0, rounds, body, (m, assign))
+    return assign
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation_thresh", "match_thresh", "low_gate",
+                     "max_time_lost", "min_consecutive"),
+)
+def tracker_step(
+    state: TrackState,
+    boxes: jnp.ndarray,    # (D, 4) xyxy, padded
+    scores: jnp.ndarray,   # (D,)
+    classes: jnp.ndarray,  # (D,) int32
+    valid: jnp.ndarray,    # (D,) bool
+    *,
+    activation_thresh: float = 0.25,
+    match_thresh: float = 0.8,      # IoU distance gate (stage 1)
+    low_gate: float = 0.5,          # IoU distance gate (stage 2)
+    max_time_lost: int = 30,
+    min_consecutive: int = 2,
+) -> Tuple[TrackState, jnp.ndarray]:
+    """One frame. Returns (new_state, det_track_ids (D,) int32; -1 where
+    the detection did not acquire an emittable track)."""
+    t = state.mean.shape[0]
+    d = boxes.shape[0]
+
+    # predict all live tracks
+    mean_p, cov_p = _kf_predict(state.mean, state.cov)
+    mean = jnp.where(state.active[:, None], mean_p, state.mean)
+    cov = jnp.where(state.active[:, None, None], cov_p, state.cov)
+    missed = jnp.where(state.active, state.missed + 1, state.missed)
+
+    track_boxes = _xyah_to_xyxy(mean)
+    iou = box_iou(track_boxes, boxes)                       # (T, D)
+
+    high = valid & (scores >= activation_thresh)
+    low = valid & (scores >= 0.1) & ~high
+
+    # stage 1: all active tracks (tracked + lost) vs high dets
+    a1 = _greedy_match(iou, state.active, high, 1.0 - match_thresh, rounds=d)
+    m1 = a1 >= 0
+
+    # stage 2: unmatched TRACKED tracks vs low dets
+    a2 = _greedy_match(iou, state.active & state.tracked & ~m1, low,
+                       1.0 - low_gate, rounds=d)
+    m2 = a2 >= 0
+
+    matched = m1 | m2
+    det_idx = jnp.where(m1, a1, jnp.where(m2, a2, 0))
+    meas = _xyxy_to_xyah(boxes[det_idx])
+    mean_u, cov_u = _kf_update(mean, cov, meas)
+    was_lost = ~state.tracked
+    mean = jnp.where(matched[:, None], mean_u, mean)
+    cov = jnp.where(matched[:, None, None], cov_u, cov)
+    consecutive = jnp.where(
+        matched, jnp.where(was_lost, 1, state.consecutive + 1), 0)
+    score = jnp.where(matched, scores[det_idx], state.score)
+    class_id = jnp.where(m1, classes[det_idx], state.class_id)
+    missed = jnp.where(matched, 0, missed)
+    tracked = matched
+    # unmatched previously-tracked become lost; lost expire after buffer
+    active = state.active & ~(~matched & ~state.tracked
+                              & (missed > max_time_lost))
+    activated = state.activated | (matched & (consecutive >= min_consecutive))
+
+    # new tracks from unmatched high detections into free slots
+    det_taken = jnp.zeros((d,), bool)
+    det_taken = det_taken.at[jnp.where(m1, a1, d)].set(True, mode="drop")
+    det_taken = det_taken.at[jnp.where(m2, a2, d)].set(True, mode="drop")
+    new_det = high & ~det_taken                              # (D,)
+    free = ~active                                           # (T,)
+    # rank free slots and new dets; pair k-th free slot with k-th new det
+    free_rank = jnp.cumsum(free) - 1                         # rank among free
+    det_rank = jnp.cumsum(new_det) - 1
+    n_new = jnp.sum(new_det)
+    # slot i takes new det with det_rank == free_rank[i]
+    slot_det = jnp.argmax(
+        (det_rank[None, :] == free_rank[:, None]) & new_det[None, :], axis=1)
+    takes = free & (free_rank < n_new)
+    meas_new = _xyxy_to_xyah(boxes[slot_det])
+    mean = jnp.where(takes[:, None],
+                     jnp.concatenate([meas_new, jnp.zeros((t, 4))], 1), mean)
+    cov = jnp.where(takes[:, None, None], _init_cov(meas_new), cov)
+    new_ids = state.next_id + det_rank[slot_det].astype(jnp.int32)
+    track_id = jnp.where(takes, new_ids, state.track_id)
+    next_id = state.next_id + n_new.astype(jnp.int32)
+    active = active | takes
+    tracked = tracked | takes
+    consecutive = jnp.where(takes, 1, consecutive)
+    activated_new = takes & (min_consecutive <= 1)
+    activated = jnp.where(takes, activated_new, activated)
+    class_id = jnp.where(takes, classes[slot_det], class_id)
+    score = jnp.where(takes, scores[slot_det], score)
+    missed = jnp.where(takes, 0, missed)
+
+    new_state = TrackState(mean, cov, track_id, active, tracked,
+                           consecutive, activated, missed, class_id, score,
+                           next_id)
+
+    # per-detection emitted track id
+    emit = active & tracked & activated
+    det_tid = jnp.full((d,), -1, jnp.int32)
+    src_tid = jnp.where(emit, track_id, -1)
+    det_tid = det_tid.at[jnp.where(m1 & emit, a1, d)].set(
+        jnp.where(m1 & emit, src_tid, -1), mode="drop")
+    det_tid = det_tid.at[jnp.where(m2 & emit, a2, d)].set(
+        jnp.where(m2 & emit, src_tid, -1), mode="drop")
+    det_tid = det_tid.at[jnp.where(takes & emit, slot_det, d)].set(
+        jnp.where(takes & emit, track_id, -1), mode="drop")
+    return new_state, det_tid
+
+
+class DeviceByteTrack:
+    """Host-facing wrapper mirroring the ByteTrack API over the jitted
+    device step."""
+
+    def __init__(self, capacity: int = 64, **kwargs):
+        from ..core.config import Config
+
+        cfg = Config()
+        self.kwargs = dict(
+            activation_thresh=kwargs.get("track_activation_threshold",
+                                         cfg.track_activation_threshold),
+            match_thresh=kwargs.get("minimum_matching_threshold",
+                                    cfg.minimum_matching_threshold),
+            max_time_lost=int(kwargs.get("frame_rate", cfg.frame_rate) / 30.0
+                              * kwargs.get("lost_track_buffer",
+                                           cfg.lost_track_buffer)),
+            min_consecutive=kwargs.get("minimum_consecutive_frames",
+                                       cfg.minimum_consecutive_frames),
+        )
+        self.state = init_state(capacity)
+
+    def update(self, boxes, scores, classes=None):
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        scores = np.asarray(scores, np.float32).reshape(-1)
+        n = len(boxes)
+        classes = (np.zeros(n, np.int32) if classes is None
+                   else np.asarray(classes, np.int32))
+        d = max(8, 1 << (n - 1).bit_length() if n else 3)
+        pb = np.zeros((d, 4), np.float32)
+        ps = np.full((d,), -1.0, np.float32)
+        pc = np.zeros((d,), np.int32)
+        pv = np.zeros((d,), bool)
+        pb[:n], ps[:n], pc[:n], pv[:n] = boxes, scores, classes, True
+        self.state, det_tid = tracker_step(
+            self.state, jnp.asarray(pb), jnp.asarray(ps), jnp.asarray(pc),
+            jnp.asarray(pv), **self.kwargs)
+        det_tid = np.asarray(det_tid)[:n]
+        keep = det_tid >= 0
+        return boxes[keep], scores[keep], classes[keep], det_tid[keep]
+
+    def reset(self):
+        self.state = init_state(self.state.mean.shape[0])
