@@ -11,6 +11,13 @@ number (BASELINE.md). Its only measured datum is the detector at
 imgsz=1280 = 4x the pixels, so the comparable per-frame cost is
 ~4 * 5.1 ms = 20.4 ms -> 49.0 fps. vs_baseline = our_fps / 49.0.
 
+This is the MOST CONSERVATIVE comparator (the reference's detector alone
+on a flagship GPU). The reference's actual end-to-end pipeline also runs
+GrabCut on host per player crop per frame (team_segmentation.py:248) —
+measured at ~18.5 ms/crop x ~12 players = ~220 ms/frame on this host — so
+its real TEAM_CLASSIFICATION throughput ceiling is ~4 fps; ours fuses the
+team features into the detection megastep at no extra device call.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 

@@ -108,6 +108,55 @@ class YoloDataset:
                 "boxes": b, "classes": c, "mask": m}
 
 
+def mosaic4(items, rng: np.random.Generator, max_gt: int = MAX_GT):
+    """4-image mosaic (ultralytics mosaic=1.0, notebook cell 15): paste
+    four letterboxed items into the quadrants of a same-size canvas around
+    a jittered center, merging their (already-padded) targets."""
+    s = items[0]["images"].shape[0]
+    canvas = np.full((s, s, 3), 114 / 255.0, np.float32)
+    cx = int(rng.uniform(0.35, 0.65) * s)
+    cy = int(rng.uniform(0.35, 0.65) * s)
+    quads = [(0, 0, cx, cy), (cx, 0, s, cy), (0, cy, cx, s), (cx, cy, s, s)]
+    boxes, classes = [], []
+    for item, (x1, y1, x2, y2) in zip(items, quads):
+        qw, qh = x2 - x1, y2 - y1
+        if qw <= 1 or qh <= 1:
+            continue
+        # random window of the source image the size of the quadrant
+        sx = int(rng.integers(0, s - qw + 1))
+        sy = int(rng.integers(0, s - qh + 1))
+        canvas[y1:y2, x1:x2] = item["images"][sy: sy + qh, sx: sx + qw]
+        m = item["mask"]
+        b = item["boxes"][m].copy()
+        if not len(b):
+            continue
+        b[:, [0, 2]] = np.clip(b[:, [0, 2]] - sx, 0, qw) + x1
+        b[:, [1, 3]] = np.clip(b[:, [1, 3]] - sy, 0, qh) + y1
+        keep = ((b[:, 2] - b[:, 0]) > 2) & ((b[:, 3] - b[:, 1]) > 2)
+        boxes.append(b[keep])
+        classes.append(item["classes"][m][keep])
+    if boxes:
+        boxes = np.concatenate(boxes)
+        classes = np.concatenate(classes)
+    else:
+        boxes = np.zeros((0, 4), np.float32)
+        classes = np.zeros((0,), np.int32)
+    b, c, mm = pad_targets(boxes, classes, max_gt)
+    return {"images": canvas, "boxes": b, "classes": c, "mask": mm}
+
+
+def mixup(a, b, rng: np.random.Generator, max_gt: int = MAX_GT):
+    """Image mixup (ultralytics mixup=0.15): beta-blend two items and
+    union their targets."""
+    lam = float(rng.beta(32.0, 32.0))
+    img = lam * a["images"] + (1 - lam) * b["images"]
+    boxes = np.concatenate([a["boxes"][a["mask"]], b["boxes"][b["mask"]]])
+    classes = np.concatenate([a["classes"][a["mask"]], b["classes"][b["mask"]]])
+    bb, cc, mm = pad_targets(boxes, classes, max_gt)
+    return {"images": img.astype(np.float32), "boxes": bb, "classes": cc,
+            "mask": mm}
+
+
 def hsv_augment(img: np.ndarray, rng: np.random.Generator,
                 h_gain: float = 0.015, s_gain: float = 0.7,
                 v_gain: float = 0.4) -> np.ndarray:
@@ -166,18 +215,29 @@ class SyntheticHockeyDataset:
         return 1 << 30
 
 
-def batch_iterator(dataset, batch_size: int, steps: int,
-                   seed: int = 0, augment: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-    """Shuffled fixed-shape batches."""
+def batch_iterator(dataset, batch_size: int, steps: int, seed: int = 0,
+                   augment: bool = True, mosaic_prob: float = 0.0,
+                   mixup_prob: float = 0.0) -> Iterator[Dict[str, np.ndarray]]:
+    """Shuffled fixed-shape batches. `mosaic_prob`/`mixup_prob` enable the
+    ultralytics-recipe augmentations (notebook cell 15: mosaic=1.0,
+    mixup=0.15) per batch item."""
     rng = np.random.default_rng(seed)
     n = len(dataset)
+
+    def load_one(i):
+        if isinstance(dataset, YoloDataset) and augment:
+            return dataset.load(int(i), hsv_jitter=rng,
+                                flip=bool(rng.uniform() < 0.5))
+        return dataset.load(int(i))
+
     for _ in range(steps):
-        idxs = rng.integers(0, n, batch_size)
         items = []
-        for i in idxs:
-            if isinstance(dataset, YoloDataset) and augment:
-                items.append(dataset.load(int(i), hsv_jitter=rng,
-                                          flip=bool(rng.uniform() < 0.5)))
+        for _ in range(batch_size):
+            if augment and rng.uniform() < mosaic_prob:
+                item = mosaic4([load_one(j) for j in rng.integers(0, n, 4)], rng)
             else:
-                items.append(dataset.load(int(i)))
+                item = load_one(int(rng.integers(0, n)))
+            if augment and rng.uniform() < mixup_prob:
+                item = mixup(item, load_one(int(rng.integers(0, n))), rng)
+            items.append(item)
         yield {k: np.stack([it[k] for it in items]) for k in items[0]}

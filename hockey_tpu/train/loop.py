@@ -41,6 +41,10 @@ def main(argv=None) -> int:
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--dp", type=int, default=0, help="data-parallel ways (0 = all devices)")
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--mosaic", type=float, default=0.0,
+                   help="mosaic probability (ultralytics recipe: 1.0)")
+    p.add_argument("--mixup", type=float, default=0.0,
+                   help="mixup probability (ultralytics recipe: 0.15)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -83,7 +87,8 @@ def main(argv=None) -> int:
         step = jax.jit(step_fn)
 
     t0 = time.time()
-    it = batch_iterator(dataset, args.batch, args.steps, seed=args.seed)
+    it = batch_iterator(dataset, args.batch, args.steps, seed=args.seed,
+                    mosaic_prob=args.mosaic, mixup_prob=args.mixup)
     for i, batch in enumerate(it):
         if mesh is not None:
             from ..parallel.sharding import jit_train_step, shard_batch

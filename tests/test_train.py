@@ -234,3 +234,35 @@ class TestDataParallelInference:
         np.testing.assert_allclose(np.asarray(out.boxes), np.asarray(ref.boxes),
                                    atol=1e-2)
         np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref.valid))
+
+
+class TestAugmentations:
+    def test_mosaic_merges_targets(self, rng):
+        from hockey_tpu.train.data import SyntheticHockeyDataset, mosaic4
+
+        ds = SyntheticHockeyDataset(imgsz=96, seed=0)
+        items = [ds.load(i) for i in range(4)]
+        out = mosaic4(items, rng)
+        assert out["images"].shape == (96, 96, 3)
+        assert out["mask"].any()
+        b = out["boxes"][out["mask"]]
+        assert (b[:, 0] >= 0).all() and (b[:, 2] <= 96).all()
+        assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+
+    def test_mixup_unions_targets(self, rng):
+        from hockey_tpu.train.data import SyntheticHockeyDataset, mixup
+
+        ds = SyntheticHockeyDataset(imgsz=96, seed=0)
+        a, b = ds.load(0), ds.load(1)
+        out = mixup(a, b, rng)
+        assert out["mask"].sum() == min(a["mask"].sum() + b["mask"].sum(), 64)
+        assert 0.0 <= out["images"].min() and out["images"].max() <= 1.0
+
+    def test_batch_iterator_with_aug_probs(self, rng):
+        from hockey_tpu.train.data import SyntheticHockeyDataset, batch_iterator
+
+        ds = SyntheticHockeyDataset(imgsz=96, seed=0)
+        batch = next(batch_iterator(ds, 4, 1, seed=0,
+                                    mosaic_prob=1.0, mixup_prob=1.0))
+        assert batch["images"].shape == (4, 96, 96, 3)
+        assert batch["mask"].any()
