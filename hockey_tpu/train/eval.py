@@ -13,7 +13,7 @@ that produces the predictions runs on device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -136,6 +136,42 @@ def _ap_101(recall: np.ndarray, precision: np.ndarray) -> float:
     valid = idx < len(recall)
     vals = np.where(valid, mpre[np.minimum(idx, len(recall) - 1)], 0.0)
     return float(np.mean(vals))
+
+
+@dataclasses.dataclass
+class PoseEvalAccumulator:
+    """Keypoint metrics for the rink pose model: mean pixel error over
+    visible keypoints and PCK@t (fraction within t * image diagonal).
+    Complements the box mAP metrics for `hockey-detection` training."""
+
+    pck_threshold: float = 0.05
+
+    def __post_init__(self):
+        self._errs: List[np.ndarray] = []
+        self._diags: List[float] = []
+
+    def add_image(self, pred_kpts: np.ndarray, gt_kpts: np.ndarray,
+                  image_hw: Tuple[int, int]) -> None:
+        """pred/gt: (K, 3) with (x, y, conf/visible)."""
+        pred_kpts = np.asarray(pred_kpts, np.float32)
+        gt_kpts = np.asarray(gt_kpts, np.float32)
+        vis = gt_kpts[:, 2] > 0.5
+        if not vis.any():
+            return
+        err = np.linalg.norm(pred_kpts[vis, :2] - gt_kpts[vis, :2], axis=1)
+        self._errs.append(err)
+        self._diags.append(float(np.hypot(*image_hw)))
+
+    def compute(self) -> Dict[str, float]:
+        if not self._errs:
+            return {"mean_kpt_error_px": float("nan"), "pck": 0.0}
+        errs = np.concatenate(self._errs)
+        norm = np.concatenate([
+            np.full(len(e), d) for e, d in zip(self._errs, self._diags)])
+        return {
+            "mean_kpt_error_px": float(errs.mean()),
+            "pck": float((errs <= self.pck_threshold * norm).mean()),
+        }
 
 
 def evaluate_detector(

@@ -97,3 +97,41 @@ class TestEvaluateDetector:
             m = evaluate_detector(det, ds, [i])
             acc_metrics.append(m["mAP50"])
         assert all(v == 1.0 for v in acc_metrics)
+
+
+class TestPoseEval:
+    def test_perfect_keypoints(self):
+        from hockey_tpu.train.eval import PoseEvalAccumulator
+
+        acc = PoseEvalAccumulator()
+        k = np.zeros((5, 3), np.float32)
+        k[:, 0] = np.arange(5) * 10
+        k[:, 1] = 50
+        k[:, 2] = 1
+        acc.add_image(k, k, (100, 100))
+        m = acc.compute()
+        assert m["mean_kpt_error_px"] == 0.0
+        assert m["pck"] == 1.0
+
+    def test_pck_threshold(self):
+        from hockey_tpu.train.eval import PoseEvalAccumulator
+
+        acc = PoseEvalAccumulator(pck_threshold=0.05)
+        gt = np.asarray([[50, 50, 1], [80, 80, 1]], np.float32)
+        # diag of 100x100 image ~ 141; threshold ~ 7.07 px
+        pred = gt.copy()
+        pred[0, 0] += 5.0   # within
+        pred[1, 0] += 20.0  # outside
+        acc.add_image(pred, gt, (100, 100))
+        m = acc.compute()
+        assert m["pck"] == 0.5
+        assert 10 < m["mean_kpt_error_px"] < 15
+
+    def test_invisible_keypoints_ignored(self):
+        from hockey_tpu.train.eval import PoseEvalAccumulator
+
+        acc = PoseEvalAccumulator()
+        gt = np.asarray([[50, 50, 0]], np.float32)  # invisible
+        acc.add_image(np.asarray([[999, 999, 1]], np.float32), gt, (100, 100))
+        m = acc.compute()
+        assert np.isnan(m["mean_kpt_error_px"])
