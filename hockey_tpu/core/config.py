@@ -88,6 +88,9 @@ class Config:
     nms_iou_threshold: float = 0.45    # ultralytics default
     max_tracks: int = 128              # padded track-table capacity
     compute_dtype: str = "bfloat16"
+    # on-device tracker (tracking/device_tracker.py): association runs as
+    # XLA ops (greedy-by-IoU, COMPAT) instead of host Hungarian
+    use_device_tracker: bool = False
 
     def __post_init__(self) -> None:
         if self.team_colors is None:

@@ -116,6 +116,11 @@ def _restore_team_impl(tc, state) -> None:
 def _tracker_state(tr) -> Dict:
     import dataclasses
 
+    if not hasattr(tr, "tracks"):  # DeviceByteTrack: snapshot the arrays
+        import numpy as np
+
+        return {"device": True,
+                "arrays": [np.asarray(x) for x in tr.state]}
     return {
         "next_id": tr._next_id,
         "frame_id": tr.frame_id,
@@ -124,6 +129,13 @@ def _tracker_state(tr) -> Dict:
 
 
 def _restore_tracker(tr, state: Dict) -> None:
+    if state.get("device"):
+        import jax.numpy as jnp
+
+        from ..tracking.device_tracker import TrackState
+
+        tr.state = TrackState(*[jnp.asarray(a) for a in state["arrays"]])
+        return
     from ..tracking.bytetrack import _Track
 
     tr._next_id = state["next_id"]

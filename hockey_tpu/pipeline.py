@@ -116,7 +116,19 @@ class VideoProcessor:
 
         self.team_classifier = TeamClassifier(device=device)
         self.team_selector = InteractiveTeamSelector(headless_names=team_names)
-        self.tracker = ByteTrack.from_config(self.config)
+        if self.config.use_device_tracker:
+            from .tracking.device_tracker import DeviceByteTrack
+
+            self.tracker = DeviceByteTrack(
+                capacity=self.config.max_tracks,
+                track_activation_threshold=self.config.track_activation_threshold,
+                lost_track_buffer=self.config.lost_track_buffer,
+                minimum_matching_threshold=self.config.minimum_matching_threshold,
+                frame_rate=self.config.frame_rate,
+                minimum_consecutive_frames=self.config.minimum_consecutive_frames,
+            )
+        else:
+            self.tracker = ByteTrack.from_config(self.config)
 
         box_ann, self.label_annotator = make_annotators(self.config)
         self.smooth_annotator = SmoothAnnotator(

@@ -284,6 +284,9 @@ class DeviceByteTrack:
             jnp.asarray(pv), **self.kwargs)
         det_tid = np.asarray(det_tid)[:n]
         keep = det_tid >= 0
+        # detection indices of emitted rows (same contract as the host
+        # tracker's last_indices — used to join megastep side data)
+        self.last_indices = np.flatnonzero(keep).astype(np.int32)
         return boxes[keep], scores[keep], classes[keep], det_tid[keep]
 
     def reset(self):

@@ -78,3 +78,35 @@ class TestDeviceByteTrack:
         b, s, c, ids = tr.update(boxes, np.full(10, 0.9, np.float32))
         assert len(ids) == 10
         assert ids[0] == ids1[0], "existing track lost identity on re-pad"
+
+    def test_pipeline_with_device_tracker(self, tmp_path):
+        import cv2
+
+        from hockey_tpu.core.config import ProcessingMode
+        from hockey_tpu.core.session import load_run_state, save_run_state
+        from hockey_tpu.pipeline import VideoProcessor
+        from tests.test_pipeline import StubDetector, make_frame, small_config, H, W
+
+        cfg = small_config()
+        cfg.use_device_tracker = True
+        cfg.max_tracks = 32
+        p = VideoProcessor(config=cfg, mode=ProcessingMode.PLAYER_TRACKING,
+                           frame_hw=(H, W), player_detector=StubDetector(),
+                           team_names=("A", "B"))
+        for i in range(4):
+            out = p.process_frame(make_frame(i))
+        assert out.shape == (H, W, 3)
+        # resume round-trips the device track table
+        state = str(tmp_path / "dev.state")
+        save_run_state(state, p, frame_idx=4)
+        cfg2 = small_config()
+        cfg2.use_device_tracker = True
+        cfg2.max_tracks = 32
+        p2 = VideoProcessor(config=cfg2, mode=ProcessingMode.PLAYER_TRACKING,
+                            frame_hw=(H, W), player_detector=StubDetector(),
+                            team_names=("A", "B"))
+        assert load_run_state(state, p2) == 4
+        import numpy as np
+        np.testing.assert_array_equal(
+            np.asarray(p2.tracker.state.track_id),
+            np.asarray(p.tracker.state.track_id))
