@@ -215,6 +215,90 @@ class SyntheticHockeyDataset:
         return 1 << 30
 
 
+class SyntheticRinkDataset:
+    """Procedural rink views for pose-model smoke training: a random
+    plausible camera homography projects the 56-keypoint rink table
+    (rinkmap/dimensions.py) into the frame; rink lines are drawn through
+    the projected landmarks so the network has visual structure to regress.
+    Items carry 'keypoints' (1, 56, 3) for the pose loss."""
+
+    def __init__(self, imgsz: int = 128, seed: int = 0, max_gt: int = 4):
+        from ..rinkmap.dimensions import NHL, default_keypoint_positions
+
+        self.imgsz = imgsz
+        self.seed = seed
+        self.max_gt = max_gt
+        self.table = default_keypoint_positions()
+        self.rink = NHL
+
+    def __len__(self) -> int:
+        return 1 << 30
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        from ..homography.ransac import dlt_homography, project
+
+        rng = np.random.default_rng(self.seed * 99991 + idx)
+        s = self.imgsz
+        # random camera: rink corners -> jittered trapezoid in the frame
+        d = self.rink
+        rink_corners = np.asarray(
+            [[0, 0], [d.length, 0], [0, d.width], [d.length, d.width]],
+            np.float64)
+        top_y = rng.uniform(0.05, 0.25) * s
+        bot_y = rng.uniform(0.75, 0.95) * s
+        top_inset = rng.uniform(0.05, 0.2) * s
+        img_corners = np.asarray([
+            [top_inset, top_y], [s - top_inset, top_y],
+            [rng.uniform(-0.15, 0.02) * s, bot_y],
+            [s - rng.uniform(-0.15, 0.02) * s, bot_y],
+        ], np.float64)
+        h = dlt_homography(rink_corners, img_corners)  # rink -> image
+        pts = project(h, self.table.astype(np.float64))  # (56, 2)
+
+        img = np.full((s, s, 3), 225, np.uint8)
+        img[...] += rng.integers(0, 8, (s, s, 3), dtype=np.uint8)
+
+        def line(a, b, color, w=1):
+            cv2.line(img, (int(pts[a][0]), int(pts[a][1])),
+                     (int(pts[b][0]), int(pts[b][1])), color, w)
+
+        # draw structure through known keypoint ids (dimensions.py layout)
+        blue = (160, 90, 30)
+        red = (50, 50, 190)
+        line(20, 21, blue, 2)   # left blue line
+        line(23, 24, blue, 2)   # right blue line
+        line(26, 27, red, 2)    # center line
+        line(0, 1, red, 1)      # left goal line
+        line(36, 37, red, 1)    # right goal line
+        for c_id, r_id in ((28, 29), (5, 7), (6, 11), (41, 43), (42, 47)):
+            c = pts[c_id]
+            r = max(int(np.linalg.norm(pts[r_id] - c)), 2)
+            cv2.circle(img, (int(c[0]), int(c[1])), r, red, 1)
+
+        vis = ((pts[:, 0] >= 0) & (pts[:, 0] < s)
+               & (pts[:, 1] >= 0) & (pts[:, 1] < s))
+        kpts = np.zeros((self.max_gt, 56, 3), np.float32)
+        kpts[0, :, :2] = pts
+        kpts[0, :, 2] = vis
+
+        vp = pts[vis]
+        if len(vp):
+            box = [max(vp[:, 0].min(), 0), max(vp[:, 1].min(), 0),
+                   min(vp[:, 0].max(), s - 1), min(vp[:, 1].max(), s - 1)]
+        else:
+            box = [0, 0, s - 1, s - 1]
+        boxes = np.zeros((self.max_gt, 4), np.float32)
+        classes = np.zeros((self.max_gt,), np.int32)
+        mask = np.zeros((self.max_gt,), bool)
+        boxes[0] = box
+        mask[0] = True
+        return {"images": img.astype(np.float32) / 255.0, "boxes": boxes,
+                "classes": classes, "mask": mask,
+                "keypoints": kpts}
+
+
 def batch_iterator(dataset, batch_size: int, steps: int, seed: int = 0,
                    augment: bool = True, mosaic_prob: float = 0.0,
                    mixup_prob: float = 0.0) -> Iterator[Dict[str, np.ndarray]]:

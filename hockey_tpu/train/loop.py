@@ -68,6 +68,11 @@ def main(argv=None) -> int:
     if args.images:
         dataset = YoloDataset(args.images, imgsz=args.imgsz)
         print(f"dataset: {len(dataset)} images from {args.images}")
+    elif cfg.num_keypoints:
+        from .data import SyntheticRinkDataset
+
+        dataset = SyntheticRinkDataset(imgsz=args.imgsz, seed=args.seed)
+        print("dataset: synthetic rink views (pose model, no --images)")
     else:
         dataset = SyntheticHockeyDataset(imgsz=args.imgsz, seed=args.seed)
         print("dataset: synthetic (no --images given)")

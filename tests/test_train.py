@@ -266,3 +266,26 @@ class TestAugmentations:
                                     mosaic_prob=1.0, mixup_prob=1.0))
         assert batch["images"].shape == (4, 96, 96, 3)
         assert batch["mask"].any()
+
+
+class TestSyntheticRinkDataset:
+    def test_item_contract(self):
+        from hockey_tpu.train.data import SyntheticRinkDataset
+
+        ds = SyntheticRinkDataset(imgsz=128, seed=0)
+        item = ds.load(3)
+        assert item["images"].shape == (128, 128, 3)
+        assert item["keypoints"].shape == (4, 56, 3)
+        assert item["mask"][0] and not item["mask"][1:].any()
+        vis = item["keypoints"][0, :, 2] > 0.5
+        assert vis.sum() > 20, "most keypoints should be in frame"
+        pts = item["keypoints"][0, vis, :2]
+        assert (pts >= 0).all() and (pts < 128).all()
+
+    def test_deterministic(self):
+        from hockey_tpu.train.data import SyntheticRinkDataset
+
+        a = SyntheticRinkDataset(imgsz=96, seed=1).load(5)
+        b = SyntheticRinkDataset(imgsz=96, seed=1).load(5)
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
