@@ -78,12 +78,15 @@ def main(argv=None) -> int:
         print("dataset: synthetic (no --images given)")
 
     n_dev = len(jax.devices())
-    use_mesh = (args.dp or n_dev) * args.fsdp > 1 and n_dev > 1
+    dp = args.dp or (n_dev // args.fsdp)
+    # dp must divide the batch; shrink to the largest divisor that fits
+    while dp > 1 and args.batch % dp != 0:
+        dp -= 1
+    use_mesh = dp * args.fsdp > 1 and n_dev > 1
     if use_mesh:
         from ..core.mesh import make_mesh
         from ..parallel.sharding import jit_train_step, shard_batch, shard_params
 
-        dp = args.dp or (n_dev // args.fsdp)
         mesh = make_mesh(dp * args.fsdp, dp=dp, fsdp=args.fsdp)
         print(f"mesh: {dict(mesh.shape)}")
         params = shard_params(mesh, params)
