@@ -140,23 +140,27 @@ def main(argv=None) -> int:
             gen = itertools.islice(gen, args.limit_frames)
         sink = VideoSinkWriter(args.target_path, info) if args.target_path else None
         n = 0
-        for frame in gen:
-            if sink:
-                sink.write(frame)
-            n += 1
-            if args.save_state and n % args.save_state_every == 0:
+        try:
+            for frame in gen:
+                if sink:
+                    sink.write(frame)
+                n += 1
+                if args.save_state and n % args.save_state_every == 0:
+                    save_run_state(args.save_state, processor, start_frame + n)
+                if not args.headless:
+                    cv2.imshow("Hockey Vision", frame)
+                    if cv2.waitKey(1) & 0xFF == ord("q"):
+                        break
+            if args.save_state:
                 save_run_state(args.save_state, processor, start_frame + n)
+                print(f"Run state saved to {args.save_state}")
+        finally:
+            # always finalize the mp4 (moov atom) and tear down windows,
+            # even on exceptions or a q-quit
+            if sink:
+                sink.close()
             if not args.headless:
-                cv2.imshow("Hockey Vision", frame)
-                if cv2.waitKey(1) & 0xFF == ord("q"):
-                    break
-        if args.save_state:
-            save_run_state(args.save_state, processor, start_frame + n)
-            print(f"Run state saved to {args.save_state}")
-        if sink:
-            sink.close()
-        if not args.headless:
-            cv2.destroyAllWindows()
+                cv2.destroyAllWindows()
     else:
         n = process_video_with_display(
             processor, args.source_path, args.target_path,

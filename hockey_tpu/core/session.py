@@ -7,17 +7,58 @@ order-dependent in the pipeline (tracker table, team fit + vote
 histories, stabilizer state, frame index), written periodically and
 restored with `--resume`.
 
-Format: a msgpack-like pickle of plain numpy/python state (the state is
-internal and version-stamped; model params use models/checkpoint.py).
+Format: an npz archive of plain arrays plus a JSON manifest — loaded with
+`allow_pickle=False`, so resuming from an untrusted state file can never
+execute code (model params use models/checkpoint.py).
 """
 
 from __future__ import annotations
 
+import io
+import json
 import os
-import pickle
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
-STATE_VERSION = 1
+import numpy as np
+
+STATE_VERSION = 2
+
+
+def _encode(obj: Any, arrays: List[np.ndarray]) -> Any:
+    """JSON-ify nested state; ndarray leaves go to the side array store.
+    Dict keys keep their Python type (tracker histories use int keys)."""
+    if isinstance(obj, np.ndarray):
+        arrays.append(obj)
+        return {"__nd__": len(arrays) - 1}
+    if isinstance(obj, np.generic):
+        arrays.append(np.asarray(obj))
+        return {"__nd0__": len(arrays) - 1}
+    if isinstance(obj, dict):
+        return {"__dict__": [[_encode(k, arrays), _encode(v, arrays)]
+                             for k, v in obj.items()]}
+    if isinstance(obj, tuple):
+        return {"__tuple__": [_encode(v, arrays) for v in obj]}
+    if isinstance(obj, list):
+        return [_encode(v, arrays) for v in obj]
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return obj
+    raise TypeError(f"run-state cannot serialize {type(obj)!r}")
+
+
+def _decode(obj: Any, arrays) -> Any:
+    if isinstance(obj, dict):
+        if "__nd__" in obj:
+            return arrays[f"arr_{obj['__nd__']}"]
+        if "__nd0__" in obj:
+            return arrays[f"arr_{obj['__nd0__']}"][()]
+        if "__dict__" in obj:
+            return {_decode(k, arrays): _decode(v, arrays)
+                    for k, v in obj["__dict__"]}
+        if "__tuple__" in obj:
+            return tuple(_decode(v, arrays) for v in obj["__tuple__"])
+    if isinstance(obj, list):
+        return [_decode(v, arrays) for v in obj]
+    return obj
 
 
 def save_run_state(path: str, processor, frame_idx: int) -> None:
@@ -31,16 +72,22 @@ def save_run_state(path: str, processor, frame_idx: int) -> None:
         "team_impl": _team_impl_state(processor.team_classifier),
         "tracker": _tracker_state(processor.tracker),
     }
+    arrays: List[np.ndarray] = []
+    manifest = json.dumps(_encode(state, arrays))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    buf = io.BytesIO()
+    np.savez(buf, manifest=np.frombuffer(manifest.encode(), np.uint8),
+             **{f"arr_{i}": a for i, a in enumerate(arrays)})
     with open(path, "wb") as f:
-        pickle.dump(state, f)
+        f.write(buf.getvalue())
 
 
 def load_run_state(path: str, processor) -> int:
     """Restore a snapshot into a freshly-constructed VideoProcessor.
     Returns the frame index to resume from."""
-    with open(path, "rb") as f:
-        state = pickle.load(f)
+    with np.load(path, allow_pickle=False) as z:
+        manifest = json.loads(bytes(z["manifest"]).decode())
+        state = _decode(manifest, z)
     if state.get("version") != STATE_VERSION:
         raise ValueError(f"unsupported run-state version {state.get('version')}")
     processor.team_classifier.set_team_names(state["team_names"])

@@ -67,6 +67,11 @@ class MultiClipProcessor:
             limit_frames: Optional[int] = None) -> List[int]:
         """Process all clips in lockstep; returns frames written per clip."""
         targets = targets or [None] * len(self.sources)
+        if self.mode == ProcessingMode.TEAM_CLASSIFICATION:
+            # per-clip one-time classifier fit, like single-clip mode
+            # (without this, every clip would silently predict unfitted)
+            for src, p in zip(self.sources, self.processors):
+                p.initialize_team_classifier(src)
         gens = [frame_generator(s) for s in self.sources]
         sinks = [
             VideoSink(t, info).__enter__() if t else None
@@ -74,7 +79,11 @@ class MultiClipProcessor:
         ]
         counts = [0] * len(self.sources)
         live = [True] * len(self.sources)
-        frames: List[Optional[np.ndarray]] = [None] * len(self.sources)
+        # seed with zeros so a clip that dies before yielding a single
+        # frame can't leave a None hole in the stacked device batch
+        h, w = self.frame_hw
+        frames: List[np.ndarray] = [
+            np.zeros((h, w, 3), np.uint8) for _ in self.sources]
         try:
             while any(live):
                 if limit_frames is not None and all(

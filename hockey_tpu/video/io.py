@@ -93,8 +93,9 @@ def prefetched(generator, depth: int = 2):
         try:
             for item in generator:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate decode failures to the consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -102,6 +103,8 @@ def prefetched(generator, depth: int = 2):
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -111,6 +111,20 @@ class TestVideoIO:
         assert [n for _, n in batches] == [16, 16, 8]
         assert all(b.shape == (16, H, W, 3) for b, _ in batches)
 
+    def test_prefetched_propagates_exceptions(self):
+        from hockey_tpu.video.io import prefetched
+
+        def broken():
+            yield 1
+            yield 2
+            raise RuntimeError("decode failed mid-stream")
+
+        got = []
+        with pytest.raises(RuntimeError, match="decode failed"):
+            for item in prefetched(broken()):
+                got.append(item)
+        assert got == [1, 2], "items before the failure must still arrive"
+
 
 class TestPipelineModes:
     def make(self, mode, **kw):
