@@ -1,8 +1,15 @@
-"""Benchmark: end-to-end 1080p detection throughput per chip.
+"""Benchmark: 1080p detection + end-to-end pipeline throughput per chip.
 
-Runs the flagship megastep (letterbox -> YOLOv8x @1280 -> DFL decode ->
-on-device NMS, the reference's runtime configuration: hockey/main.py:28-29)
-on synthetic 1080p frames and reports frames/sec/chip.
+Two measurements, one JSON line:
+
+1. `value` (primary, comparable across rounds): the flagship megastep
+   (letterbox -> YOLOv8x @1280 -> DFL decode -> on-device NMS, the
+   reference's runtime configuration: hockey/main.py:28-29) on synthetic
+   1080p frames, frames/sec/chip.
+2. `e2e_pipeline_fps`: the REAL pipeline (decode -> megastep with fused
+   team features -> ByteTrack -> team vote -> annotate) in
+   TEAM_CLASSIFICATION mode on a generated 1080p clip, with per-stage
+   milliseconds in `e2e_stage_ms`.
 
 Baseline derivation (vs_baseline): the reference publishes no end-to-end
 number (BASELINE.md). Its only measured datum is the detector at
@@ -15,38 +22,37 @@ This is the MOST CONSERVATIVE comparator (the reference's detector alone
 on a flagship GPU). The reference's actual end-to-end pipeline also runs
 GrabCut on host per player crop per frame (team_segmentation.py:248) —
 measured at ~18.5 ms/crop x ~12 players = ~220 ms/frame on this host — so
-its real TEAM_CLASSIFICATION throughput ceiling is ~4 fps; ours fuses the
-team features into the detection megastep at no extra device call.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+its real TEAM_CLASSIFICATION throughput ceiling is ~4 fps.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_FPS = 1000.0 / (4 * (0.4 + 4.1 + 0.6))  # ≈ 49.0 (see docstring)
+E2E_FRAMES = 192  # steady-state frames timed in the pipeline benchmark
 
 
-def main() -> None:
-    import jax
+def bench_detect() -> float:
+    """Detect-only megastep sweep; returns best fps."""
     import jax.numpy as jnp
 
     from hockey_tpu.core.config import Config
     from hockey_tpu.models.detector import build_detect_fn
-    from hockey_tpu.models.layers import fuse_model
+    from hockey_tpu.models.layers import fuse_for_inference
     from hockey_tpu.models.yolov8 import MODEL_ZOO, init_params
 
     config = Config()
     cfg = MODEL_ZOO["hockey-player-detection"]
-    params = fuse_model(init_params(cfg, seed=0))
+    params = fuse_for_inference(init_params(cfg, seed=0))
 
     rng = np.random.default_rng(0)
     best_fps = 0.0
-    for batch in (32, 64):
+    for batch in (32, 64, 96):
         fn = build_detect_fn(
             cfg,
             imgsz=config.detection_imgsz,
@@ -62,21 +68,129 @@ def main() -> None:
         # warmup incl. compile; np.asarray forces real completion (the axon
         # platform's block_until_ready returns early, and queuing multiple
         # in-flight executions deadlocks the tunnel — so sync per call)
-        for _ in range(2):
-            _ = np.asarray(fn(params, frames).boxes)
-        n_iter = max(3, int(32 // batch))
+        try:
+            for _ in range(2):
+                _ = np.asarray(fn(params, frames).boxes)
+        except Exception:
+            break  # batch too large for this chip's HBM; keep best so far
+        n_iter = max(4, int(128 // batch))
         t0 = time.perf_counter()
         for _ in range(n_iter):
             _ = np.asarray(fn(params, frames).boxes)
         dt = time.perf_counter() - t0
-        fps = batch * n_iter / dt
-        best_fps = max(best_fps, fps)
+        best_fps = max(best_fps, batch * n_iter / dt)
+    return best_fps
+
+
+def _make_clip(path: str, n_frames: int) -> None:
+    import cv2
+
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                        (1920, 1080))
+    for i in range(n_frames):
+        f = np.full((1080, 1920, 3), 205, np.uint8)
+        cv2.rectangle(f, (0, 300), (1920, 1080), (215, 215, 210), -1)
+        for j in range(10):
+            x = (150 + 170 * j + 3 * i) % 1800
+            y = 380 + 55 * (j % 4)
+            color = (40, 40, 200) if j % 2 else (200, 150, 40)
+            cv2.rectangle(f, (x, y), (x + 55, y + 130), color, -1)
+            cv2.rectangle(f, (x + 10, y + 130), (x + 45, y + 165),
+                          (30, 30, 30), -1)
+        w.write(f)
+    w.release()
+
+
+def bench_pipeline(tmpdir: str) -> dict:
+    """Real TEAM_CLASSIFICATION pipeline on a 1080p clip; returns fps and
+    per-stage ms/frame (steady state: classifier init and the first
+    compile are excluded via explicit warmup)."""
+    import hockey_tpu.pipeline as pl
+    from hockey_tpu.core.config import Config, ProcessingMode
+    from hockey_tpu.pipeline import VideoProcessor
+
+    clip = os.path.join(tmpdir, "bench_clip.mp4")
+    _make_clip(clip, E2E_FRAMES)
+
+    config = Config()
+    p = VideoProcessor(config=config, mode=ProcessingMode.TEAM_CLASSIFICATION,
+                       frame_hw=(1080, 1920), team_names=("HOME", "AWAY"))
+    os.environ["HOCKEY_TPU_HEADLESS"] = "1"
+    p.initialize_team_classifier(clip)
+
+    # compile/warm the batched megastep outside the timed region — the
+    # SAME program the pipeline will run (fused detect+track when active)
+    b = config.resolved_frame_batch()
+    warm = np.zeros((b, 1080, 1920, 3), np.uint8)
+    if p.use_fused_tracker:
+        out = p.player_detector.detect_track_batch(warm, p.tracker.state)
+        _ = np.asarray(out[0].boxes)
+        p.tracker.reset()
+    else:
+        out = p.player_detector.detect_batch(warm)
+        _ = np.asarray((out[0] if isinstance(out, tuple) else out).boxes)
+
+    p.timers.reset()
+    t0 = time.perf_counter()
+    n = 0
+    for _ in p.process_video(clip, skip_init=True):
+        n += 1
+    dt = time.perf_counter() - t0
+    summary = p.timers.summary()
+    stage_ms = {k: round(v["total_s"] * 1000.0 / max(n, 1), 2)
+                for k, v in summary.items()
+                if k != "counters" and isinstance(v, dict) and "total_s" in v}
+    out = {"fps": n / dt, "frames": n, "stage_ms": stage_ms,
+           "frame_batch": b}
+
+    # compute-bound e2e: the dev tunnel moves host->device pixels at only
+    # ~35 MB/s (measured), which caps full-res 1080p feeds at ~6 fps — a
+    # co-located production host (PCIe, tens of GB/s) does not have this
+    # wall. Stage one batch of real frames on device once and run the same
+    # fused program + host stages repeatedly: that is the per-chip
+    # pipeline rate when ingest is local.
+    if p.use_fused_tracker:
+        import jax.numpy as jnp
+
+        from hockey_tpu.video.io import batched_frame_generator
+
+        frames, _ = next(batched_frame_generator(clip, b))
+        dev = jnp.asarray(frames)
+        _ = np.asarray(dev[0, 0, 0, 0])
+        p.tracker.reset()
+        reps = max(E2E_FRAMES // b, 1)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            res = p.player_detector.detect_track_batch(dev, p.tracker.state)
+            p.tracker.state = res[-1]
+            rows = pl.unpack_tracked(res)
+            for i in range(b):
+                p.process_frame(frames[i], pretracked=rows[i][:4],
+                                team_feats=rows[i][4])
+        out["compute_fps"] = reps * b / (time.perf_counter() - t0)
+    return out
+
+
+def main() -> None:
+    detect_fps = bench_detect()
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        try:
+            e2e = bench_pipeline(td)
+        except Exception as e:  # never lose the primary metric
+            e2e = {"fps": 0.0, "error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps({
         "metric": "e2e_1080p_detect_fps_per_chip",
-        "value": round(best_fps, 2),
+        "value": round(detect_fps, 2),
         "unit": "frames/sec/chip (YOLOv8x @1280 incl. device NMS)",
-        "vs_baseline": round(best_fps / BASELINE_FPS, 2),
+        "vs_baseline": round(detect_fps / BASELINE_FPS, 2),
+        "e2e_pipeline_fps": round(e2e.get("fps", 0.0), 2),
+        "e2e_compute_fps": round(e2e.get("compute_fps", 0.0), 2),
+        "e2e_detail": {k: v for k, v in e2e.items()
+                       if k not in ("fps", "compute_fps")},
     }))
 
 

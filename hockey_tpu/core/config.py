@@ -82,20 +82,34 @@ class Config:
     puck_trail_length: int = 30
 
     # --- TPU-native knobs (new; no reference counterpart).
-    frame_batch: int = 1               # frames per device step
+    frame_batch: int = 0               # frames per device step; 0 = auto
+    #   (32 on an accelerator backend, 1 on CPU — the batched megastep is
+    #   the default path on TPU, reference-sequential on host backends)
     max_detections: int = 64           # padded post-NMS capacity
     nms_pre_topk: int = 256            # candidates entering NMS
     nms_iou_threshold: float = 0.45    # ultralytics default
     max_tracks: int = 128              # padded track-table capacity
     compute_dtype: str = "bfloat16"
     # on-device tracker (tracking/device_tracker.py): association runs as
-    # XLA ops (greedy-by-IoU, COMPAT) instead of host Hungarian
-    use_device_tracker: bool = False
+    # XLA ops (auction solver, Hungarian semantics) fused into the
+    # detection megastep via lax.scan. None = auto: on for accelerator
+    # backends when the batched megastep is active, off on CPU (host
+    # Hungarian ByteTrack remains the reference-sequential path)
+    use_device_tracker: Optional[bool] = None
 
     def __post_init__(self) -> None:
         if self.team_colors is None:
             # Team1, Team2, Goalies (reference main.py:59).
             self.team_colors = ["#FF1493", "#00BFFF", "#FF6347"]
+
+    def resolved_frame_batch(self) -> int:
+        """frame_batch with 0 = auto: batch 32 on an accelerator (one
+        megastep per 32 frames keeps the MXU fed), sequential on CPU."""
+        if self.frame_batch > 0:
+            return self.frame_batch
+        import jax
+
+        return 32 if jax.default_backend() not in ("cpu",) else 1
 
 
 def hex_to_bgr(hex_color: str) -> Tuple[int, int, int]:

@@ -25,7 +25,7 @@ from ..ops.letterbox import (
     rect_shape,
 )
 from ..ops.nms import Detections, nms
-from .layers import fuse_model
+from .layers import fuse_for_inference
 from .yolov8 import (
     MODEL_ZOO,
     YoloConfig,
@@ -68,7 +68,7 @@ def _unmap_boxes(boxes: jnp.ndarray, h: int, w: int, imgsz: int,
     return jnp.clip(out, 0.0, hi)
 
 
-def build_detect_fn(
+def _build_detect_core(
     cfg: YoloConfig,
     *,
     imgsz: int,
@@ -82,7 +82,9 @@ def build_detect_fn(
     with_team_features: bool = False,
     rect: bool = True,
 ):
-    """Returns jit(params, frames_u8) -> Detections [+ keypoints].
+    """Returns the traceable (params, frames_u8) -> Detections [+ keypoints]
+    program body (un-jitted, so callers can compose it — see
+    build_detect_track_fn).
 
     frames_u8: (B, H, W, 3) uint8 RGB/BGR (colorspace-agnostic; training and
     inference just need to agree). All outputs are in original (H, W) frame
@@ -97,8 +99,7 @@ def build_detect_fn(
     # sequential NMS suppression runs as a Pallas VMEM kernel on TPU
     use_pallas = jax.default_backend() not in ("cpu",)
 
-    @jax.jit
-    def detect(params: Dict, frames: jnp.ndarray):
+    def detect_core(params: Dict, frames: jnp.ndarray):
         if rect:
             x = letterbox_rect_batch(frames, imgsz, 32, dtype)
         else:
@@ -120,21 +121,30 @@ def build_detect_fn(
 
         if with_team_features:
             # fold the team classifier's per-detection features into the
-            # same program: crop every padded detection slot from the
-            # original frame, color-prior mask, 4-dim segmentation feature
-            # (teams/features.py). TEAM_CLASSIFICATION becomes ONE device
-            # call per frame batch.
+            # same program: crop every padded detection slot, color-prior
+            # mask, 4-dim segmentation feature (teams/features.py).
+            # TEAM_CLASSIFICATION becomes ONE device call per frame batch.
+            # Crops come from a 4x-downscaled frame via interpolation
+            # matmuls (MXU) — full-res gather crops cost ~9 ms/frame and
+            # color statistics don't need full resolution.
             from ..teams.base import CROP_H, CROP_W
             from ..teams.features import color_prior_masks, segmentation_features
-            from ..ops.crop_resize import crop_and_resize
+            from ..ops.crop_resize import crop_and_resize_mm
+            from ..ops.letterbox import resize_batch
 
-            def feats_one(frame, bx):
-                crops = crop_and_resize(frame.astype(jnp.float32), bx,
-                                        (CROP_H, CROP_W))
+            ds = 4
+            small = resize_batch(frames, (h // ds, w // ds), jnp.float32)
+
+            def feats_one(frame_small, bx):
+                crops = crop_and_resize_mm(frame_small, bx / ds,
+                                           (CROP_H, CROP_W))
                 masks = color_prior_masks(crops)
                 return segmentation_features(crops, masks)
 
-            team_feats = jax.vmap(feats_one)(frames, det.boxes)
+            # lax.map over frames keeps the (D, CROP_H, CROP_W, C) crop
+            # buffers at 1/B peak memory; each step is ~0.1 ms of matmuls
+            team_feats = jax.lax.map(
+                lambda fb: feats_one(fb[0], fb[1]), (small, det.boxes))
             return det, team_feats
 
         if with_keypoints:
@@ -156,7 +166,62 @@ def build_detect_fn(
             return det, k
         return det
 
-    return detect
+    return detect_core
+
+
+def build_detect_fn(*args, **kwargs):
+    """jit(params, frames_u8) -> Detections [+ keypoints / team feats].
+    See _build_detect_core for the program contract."""
+    return jax.jit(_build_detect_core(*args, **kwargs))
+
+
+def build_detect_track_fn(
+    cfg: YoloConfig,
+    *,
+    tracker_kwargs: Dict,
+    allowed_classes: Tuple[int, ...] = (0, 1),
+    **core_kwargs,
+):
+    """The fully fused megastep: detection + K frames of ByteTrack in ONE
+    program — jit(params, frames_u8, TrackState) -> (Detections,
+    team_feats | None, det_track_ids (B, D), new TrackState).
+
+    The reference runs tracking on host per frame (hockey/main.py:262-268,
+    sv.ByteTrack); round 1 of this repo still synced tracker arrays to
+    host every frame. Here `lax.scan` threads the track table through the
+    frame batch on device, so detections AND track ids leave the chip
+    exactly once per K frames. Class/confidence gating (reference
+    main.py:177-195: {player, goalkeeper}) is applied to `valid` before
+    association, matching the host pipeline's pre-tracker filter.
+
+    `packed` concatenates [boxes | score | class | track_id | feats...]
+    into one (B, D, 7 or 11) f32 tensor so the host needs exactly ONE
+    device->host materialization per batch (each separate np.asarray
+    pays a full round-trip on remote-tunnel deployments)."""
+    from ..tracking.device_tracker import tracker_scan
+
+    with_team_features = core_kwargs.get("with_team_features", False)
+    core = _build_detect_core(cfg, **core_kwargs)
+
+    @jax.jit
+    def detect_track(params: Dict, frames: jnp.ndarray, state):
+        out = core(params, frames)
+        det, feats = out if with_team_features else (out, None)
+        cls_ok = jnp.zeros(det.classes.shape, bool)
+        for c in allowed_classes:
+            cls_ok = cls_ok | (det.classes == c)
+        valid = det.valid & cls_ok
+        state2, tids = tracker_scan(state, det.boxes, det.scores,
+                                    det.classes, valid, **tracker_kwargs)
+        cols = [det.boxes, det.scores[..., None],
+                det.classes.astype(jnp.float32)[..., None],
+                tids.astype(jnp.float32)[..., None]]
+        if feats is not None:
+            cols.append(feats.astype(jnp.float32))
+        packed = jnp.concatenate(cols, axis=-1)
+        return det, feats, tids, packed, state2
+
+    return detect_track
 
 
 class Detector:
@@ -194,8 +259,9 @@ class Detector:
             else:
                 params = init_params(self.cfg, seed)
         if fuse:
-            params = fuse_model(params)
+            params = fuse_for_inference(params)
         self.params = params
+        self.max_det = max_det or self.config.max_detections
         self._fn = build_detect_fn(
             self.cfg,
             imgsz=self.imgsz,
@@ -203,15 +269,41 @@ class Detector:
             conf=self.conf,
             iou=self.config.nms_iou_threshold,
             pre_topk=self.config.nms_pre_topk,
-            max_det=max_det or self.config.max_detections,
+            max_det=self.max_det,
             with_keypoints=self.cfg.num_keypoints > 0,
             with_team_features=with_team_features,
         )
         self.with_team_features = with_team_features
+        self._fn_track = None  # built lazily (detect_track_batch)
 
     def detect_batch(self, frames: np.ndarray):
         """(B, H, W, 3) uint8 -> padded device Detections (+ keypoints)."""
         return self._fn(self.params, jnp.asarray(frames))
+
+    def detect_track_batch(self, frames: np.ndarray, state):
+        """Fused detection + tracking over a frame batch (ONE program):
+        (B, H, W, 3) uint8 + TrackState -> (Detections, team_feats | None,
+        det_track_ids (B, D), new TrackState). See build_detect_track_fn."""
+        if self._fn_track is None:
+            c = self.config
+            self._fn_track = build_detect_track_fn(
+                self.cfg,
+                tracker_kwargs=dict(
+                    activation_thresh=c.track_activation_threshold,
+                    match_thresh=c.minimum_matching_threshold,
+                    max_time_lost=int(c.frame_rate / 30.0
+                                      * c.lost_track_buffer),
+                    min_consecutive=c.minimum_consecutive_frames,
+                ),
+                imgsz=self.imgsz,
+                frame_hw=self.frame_hw,
+                conf=self.conf,
+                iou=c.nms_iou_threshold,
+                pre_topk=c.nms_pre_topk,
+                max_det=self.max_det,
+                with_team_features=self.with_team_features,
+            )
+        return self._fn_track(self.params, jnp.asarray(frames), state)
 
     def detect(self, frame: np.ndarray) -> HostDetections:
         """Single frame -> host-side unpadded detections."""

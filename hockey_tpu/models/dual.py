@@ -19,7 +19,7 @@ from ..core.config import Config
 from ..ops.letterbox import letterbox_rect_batch, rect_letterbox_params, rect_shape
 from ..ops.nms import nms
 from .detector import _unmap_boxes
-from .layers import fuse_model
+from .layers import fuse_for_inference
 from .yolov8 import (
     MODEL_ZOO,
     decode_boxes,
@@ -106,10 +106,10 @@ class DualDetector:
         self.player_cfg = MODEL_ZOO[self.config.player_model_name]
         self.rink_cfg = MODEL_ZOO[self.config.hockey_model_name]
         self.with_team_features = with_team_features
-        self.player_params = fuse_model(
+        self.player_params = fuse_for_inference(
             load_params(checkpoint) if checkpoint
             else init_params(self.player_cfg, seed))
-        self.rink_params = fuse_model(
+        self.rink_params = fuse_for_inference(
             load_params(rink_checkpoint) if rink_checkpoint
             else init_params(self.rink_cfg, seed + 1))
         self._fn = build_dual_fn(

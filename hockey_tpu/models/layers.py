@@ -161,6 +161,17 @@ def fuse_model(params) -> Dict:
     return params
 
 
+def fuse_for_inference(params) -> Dict:
+    """Fold BN and pre-cast weights to bf16: the per-call f32->bf16 cast
+    inside a jitted program re-reads every param from HBM at double width
+    (272 MB for YOLOv8x) — a pure bandwidth tax, since the MXU consumes
+    bf16 either way. Inference-only; training keeps f32 masters."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+        fuse_model(params))
+
+
 # ---------------------------------------------------------------------------
 # YOLOv8 blocks: Bottleneck, C2f, SPPF
 # ---------------------------------------------------------------------------

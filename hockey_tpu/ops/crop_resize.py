@@ -31,7 +31,11 @@ def crop_and_resize(
     """
     h, w = frame.shape[0], frame.shape[1]
     oh, ow = out_hw
-    img = frame.astype(jnp.float32)
+    # flat (H*W, C) source + fused 2D-index gathers: gathering rows first
+    # (img[y0] -> (oh, W, C)) materializes the full frame width per crop —
+    # 7.5 GB at batch 32 x 64 dets — while flat gathers touch only the
+    # oh x ow sampled pixels
+    flat = frame.reshape(h * w, -1).astype(jnp.float32)
 
     def one(box):
         x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
@@ -47,16 +51,52 @@ def crop_and_resize(
         y0 = y0.astype(jnp.int32)
         x0 = x0.astype(jnp.int32)
 
-        # gather 4 corners: (oh, ow, C)
-        tl = img[y0][:, x0]
-        tr = img[y0][:, x1i]
-        bl = img[y1i][:, x0]
-        br = img[y1i][:, x1i]
+        # gather 4 corners via flat indices: (oh, ow, C) each
+        tl = flat[y0[:, None] * w + x0[None, :]]
+        tr = flat[y0[:, None] * w + x1i[None, :]]
+        bl = flat[y1i[:, None] * w + x0[None, :]]
+        br = flat[y1i[:, None] * w + x1i[None, :]]
         top = tl + (tr - tl) * wx[None, :, None]
         bot = bl + (br - bl) * wx[None, :, None]
         return top + (bot - top) * wy[:, None, None]
 
     return jax.vmap(one)(boxes.astype(jnp.float32))
+
+
+def crop_and_resize_mm(
+    frame: jnp.ndarray,     # (h, w, C) — typically a downscaled frame
+    boxes: jnp.ndarray,     # (N, 4) xyxy in `frame`'s pixel coords
+    out_hw: Tuple[int, int] = (128, 64),
+) -> jnp.ndarray:
+    """Batched crop-and-resize as two per-box interpolation matmuls.
+
+    Same sampling semantics as crop_and_resize (bilinear at cell centers,
+    edge-clamped), but expressed as dense contractions so it rides the MXU
+    instead of TPU gathers — inside the megastep's team-feature branch the
+    gather formulation costs ~9 ms/frame at 64 boxes; this costs ~0.1 ms.
+    Callers crop from a 4-8x downscaled frame (color statistics don't need
+    full resolution) to keep the weight matrices small. Returns
+    (N, oh, ow, C) float32.
+    """
+    h, w = frame.shape[0], frame.shape[1]
+    oh, ow = out_hw
+    bx = boxes.astype(jnp.float32)
+
+    def weights(lo, hi, size, n_src):
+        # sample positions for each box along one axis: (N, size)
+        pos = lo[:, None] + (jnp.arange(size, dtype=jnp.float32)[None, :]
+                             + 0.5) * (hi - lo)[:, None] / size - 0.5
+        pos = jnp.clip(pos, 0.0, n_src - 1.0)
+        grid = jnp.arange(n_src, dtype=jnp.float32)
+        # hat function == bilinear weights on the integer grid
+        return jnp.clip(1.0 - jnp.abs(grid[None, None, :] - pos[:, :, None]),
+                        0.0, 1.0)                     # (N, size, n_src)
+
+    wy = weights(bx[:, 1], bx[:, 3], oh, h)
+    wx = weights(bx[:, 0], bx[:, 2], ow, w)
+    img = frame.astype(jnp.float32)
+    tmp = jnp.einsum("ywc,nxw->nyxc", img, wx)        # (N, h, ow, C)
+    return jnp.einsum("nhy,nyxc->nhxc", wy, tmp)      # (N, oh, ow, C)
 
 
 def crop_jersey_boxes(boxes: jnp.ndarray,

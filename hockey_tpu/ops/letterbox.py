@@ -141,6 +141,24 @@ def letterbox_rect_batch(
     return x.astype(dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("out_hw", "dtype"))
+def resize_batch(frames: jnp.ndarray, out_hw: Tuple[int, int],
+                 dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """Plain separable bilinear resize (no pad/normalize): (B, H, W, C) ->
+    (B, oh, ow, C) `dtype`, values preserved. Same two-matmul formulation
+    as letterbox_batch (MXU instead of gathers)."""
+    b, h, w, c = frames.shape
+    oh, ow = out_hw
+    ah = jnp.asarray(_resize_matrix(h, oh), dtype)
+    aw = jnp.asarray(_resize_matrix(w, ow).T, dtype)
+    x = frames.astype(dtype)
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    x = jnp.einsum("rh,bhwc->brwc", ah, x,
+                   preferred_element_type=dtype, precision=prec)
+    return jnp.einsum("brwc,wk->brkc", x, aw,
+                      preferred_element_type=dtype, precision=prec)
+
+
 def unletterbox_boxes(
     boxes: jnp.ndarray, h: int, w: int, imgsz: int
 ) -> jnp.ndarray:

@@ -116,7 +116,22 @@ class VideoProcessor:
 
         self.team_classifier = TeamClassifier(device=device)
         self.team_selector = InteractiveTeamSelector(headless_names=team_names)
-        if self.config.use_device_tracker:
+        use_device_tracker = self.config.use_device_tracker
+        if use_device_tracker is None:  # auto: fuse tracking into the
+            # batched megastep on accelerator backends (one program per
+            # frame batch, one host transfer); host Hungarian elsewhere
+            import jax
+
+            use_device_tracker = (
+                jax.default_backend() not in ("cpu",)
+                and self.config.resolved_frame_batch() > 1
+                and hasattr(self.player_detector, "detect_track_batch")
+                and self.mode in (ProcessingMode.PLAYER_TRACKING,
+                                  ProcessingMode.TEAM_CLASSIFICATION)
+            )
+        self.use_fused_tracker = bool(use_device_tracker) and hasattr(
+            self.player_detector, "detect_track_batch")
+        if use_device_tracker:
             from .tracking.device_tracker import DeviceByteTrack
 
             self.tracker = DeviceByteTrack(
@@ -212,22 +227,27 @@ class VideoProcessor:
     def process_frame(self, frame: np.ndarray,
                       det: Optional[HostDetections] = None,
                       team_feats: Optional[np.ndarray] = None,
-                      rink_kpts: Optional[np.ndarray] = None) -> np.ndarray:
+                      rink_kpts: Optional[np.ndarray] = None,
+                      pretracked=None) -> np.ndarray:
         """One frame through the mode's host stages. `det` carries batched
         megastep output when the caller pre-detected; None falls back to a
         single-frame device call (reference-sequential behavior).
         `team_feats` (n, 4) rows align with `det` when the megastep fused
-        team features; `rink_kpts` (56, 3) is this frame's row of the dual
-        megastep's keypoint output."""
+        team features (or with `pretracked` rows when tracking was fused
+        too); `rink_kpts` (56, 3) is this frame's row of the dual
+        megastep's keypoint output. `pretracked` = (boxes, scores,
+        classes, tracker_ids) from the fused detect+track megastep —
+        detection and association both already happened on device."""
         if self.mode == ProcessingMode.PUCK_DETECTION:
             return self.puck_pipeline.process_frame(frame)
 
-        if det is None:
+        if pretracked is None and det is None:
             with self.timers.stage("detect"):
                 det = self.detect_players(frame)
                 if self.use_dual and rink_kpts is None:
                     rink_kpts = self.player_detector.last_keypoints[0]
-        self.timers.count("detections", len(det))
+        if det is not None:
+            self.timers.count("detections", len(det))
 
         if self.mode == ProcessingMode.PLAYER_DETECTION:
             with self.timers.stage("annotate"):
@@ -239,9 +259,13 @@ class VideoProcessor:
                     frame.copy(), det.boxes, lookup)
                 return self.label_annotator.annotate(out, det.boxes, labels, lookup)
 
-        with self.timers.stage("track"):
-            boxes, scores, classes, tids = self.tracker.update(
-                det.boxes, det.scores, det.classes)
+        if pretracked is not None:
+            boxes, scores, classes, tids = pretracked
+            self.timers.count("detections", len(boxes))
+        else:
+            with self.timers.stage("track"):
+                boxes, scores, classes, tids = self.tracker.update(
+                    det.boxes, det.scores, det.classes)
         self.timers.count("tracks", len(tids))
 
         pmask = classes == PLAYER_CLASS_ID
@@ -266,8 +290,10 @@ class VideoProcessor:
                     if (team_feats is not None
                             and self.team_classifier.supports_fused_features()):
                         # fused path: features came out of the megastep;
+                        # pretracked rows are already aligned, otherwise
                         # join via the tracker's detection indices
-                        tf = team_feats[self.tracker.last_indices][pmask]
+                        tf = (team_feats if pretracked is not None
+                              else team_feats[self.tracker.last_indices])[pmask]
                         player_team_ids = self.team_classifier.predict_features(
                             tf, tracker_ids=tids[pmask])
                     else:
@@ -339,13 +365,17 @@ class VideoProcessor:
         if self.mode == ProcessingMode.TEAM_CLASSIFICATION and not skip_init:
             self.initialize_team_classifier(source_path)
 
-        b = max(self.config.frame_batch, 1)
+        b = self.config.resolved_frame_batch()
         if self.mode == ProcessingMode.PUCK_DETECTION or b == 1:
             for frame in frame_generator(source_path, start=start_frame):
                 yield self.process_frame(frame)
             return
 
         from .video.io import prefetched
+
+        if self.use_fused_tracker:
+            yield from self._process_video_fused(source_path, b, start_frame)
+            return
 
         fused = getattr(self.player_detector, "with_team_features", False)
         for frames, n in prefetched(
@@ -372,6 +402,53 @@ class VideoProcessor:
                     team_feats=tf,
                     rink_kpts=None if kpts_np is None else kpts_np[i],
                 )
+
+    def _process_video_fused(self, source_path: str, b: int,
+                             start_frame: int) -> Iterator[np.ndarray]:
+        """Fully fused device path: ONE program per frame batch covers
+        letterbox -> YOLO -> NMS -> ByteTrack scan [-> team features];
+        only final (boxes, ids, feats) cross to host, once per batch."""
+        from .video.io import prefetched
+
+        for frames, n in prefetched(
+                batched_frame_generator(source_path, b, start=start_frame)):
+            with self.timers.stage("detect"):
+                out = self.player_detector.detect_track_batch(
+                    frames, self.tracker.state)
+                self.tracker.state = out[-1]
+                rows = unpack_tracked(out)
+            for i in range(n):
+                yield self.process_frame(frames[i], pretracked=rows[i][:4],
+                                         team_feats=rows[i][4])
+
+
+def unpack_tracked(out) -> List[Tuple]:
+    """Fused megastep output -> per-frame host rows: a list of
+    (boxes, scores, classes, tids, team_feats | None), keeping only
+    detections that acquired an emittable track id. Uses the single
+    `packed` tensor when present (one device->host transfer per batch)."""
+    det, feats, tids, packed, _state = out
+    rows = []
+    if packed is not None:
+        arr = np.asarray(packed)
+        for i in range(arr.shape[0]):
+            keep = arr[i, :, 6] >= 0
+            r = arr[i][keep]
+            tf = r[:, 7:] if arr.shape[-1] > 7 else None
+            rows.append((r[:, :4], r[:, 4], r[:, 5].astype(np.int32),
+                         r[:, 6].astype(np.int32), tf))
+        return rows
+    boxes_np = np.asarray(det.boxes)
+    scores_np = np.asarray(det.scores)
+    classes_np = np.asarray(det.classes)
+    tids_np = np.asarray(tids)
+    feats_np = None if feats is None else np.asarray(feats)
+    for i in range(boxes_np.shape[0]):
+        keep = tids_np[i] >= 0
+        tf = None if feats_np is None else feats_np[i][keep]
+        rows.append((boxes_np[i][keep], scores_np[i][keep],
+                     classes_np[i][keep], tids_np[i][keep], tf))
+    return rows
 
 
 def process_video_with_display(

@@ -4,12 +4,12 @@ association per frame (the north-star design: "ByteTrack association runs
 as vectorized XLA ops over all tracks per frame").
 
 Semantics follow tracking/bytetrack.py (same thresholds, lost-buffer and
-min-consecutive-frames rules) with one documented divergence: association
-is greedy-by-IoU instead of Hungarian — a static-shape, loop-free-enough
-formulation for XLA. For tracker-scale problems the two disagree only on
-near-ties; the host tracker remains the default, this one is for fully
-device-resident pipelines (detections never leave the chip between the
-megastep and tracking).
+min-consecutive-frames rules). Association solves the same assignment
+problem as the host's Hungarian via an XLA auction solver
+(ops/assignment.py) with the host's gating semantics (solve the full
+matrix, then reject pairs above the gate); `tracker_scan` fuses K frames
+of tracking into one program with `lax.scan`, so a detection megastep +
+tracker batch does exactly one host round-trip per K frames.
 
 All shapes are static: a fixed-capacity track table (MAX_TRACKS slots) and
 the megastep's padded detection set.
@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.assignment import auction_match
 from ..ops.iou import box_iou
 
 
@@ -115,34 +116,17 @@ def _init_cov(xyah):
     return jax.vmap(jnp.diag)(std ** 2)
 
 
-def _greedy_match(iou: jnp.ndarray, row_ok, col_ok, gate: float,
-                  rounds: int) -> jnp.ndarray:
-    """Greedy maximum-IoU matching. Returns col index per row (-1 = no
-    match). `rounds` = static upper bound on matches."""
-    t, d = iou.shape
-    m = jnp.where(row_ok[:, None] & col_ok[None, :], iou, -1.0)
-    assign = jnp.full((t,), -1, jnp.int32)
-
-    def body(_, carry):
-        m, assign = carry
-        flat = jnp.argmax(m)
-        i, j = flat // d, flat % d
-        best = m[i, j]
-        take = best >= gate
-        assign = jnp.where(take, assign.at[i].set(j.astype(jnp.int32)), assign)
-        m = jnp.where(take, m.at[i, :].set(-1.0).at[:, j].set(-1.0), m)
-        return m, assign
-
-    _, assign = jax.lax.fori_loop(0, rounds, body, (m, assign))
-    return assign
+def _match(iou: jnp.ndarray, row_ok, col_ok, gate: float) -> jnp.ndarray:
+    """Hungarian-semantics matching: solve max-total-IoU over the full
+    admissible matrix (auction), then reject matched pairs with IoU below
+    the gate — exactly the host `_assign` (bytetrack.py:62-74) contract.
+    Returns col index per row (-1 = no match)."""
+    a = auction_match(iou, row_ok, col_ok)
+    iou_a = jnp.take_along_axis(iou, jnp.maximum(a, 0)[:, None], 1)[:, 0]
+    return jnp.where((a >= 0) & (iou_a >= gate), a, -1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("activation_thresh", "match_thresh", "low_gate",
-                     "max_time_lost", "min_consecutive"),
-)
-def tracker_step(
+def _tracker_step_impl(
     state: TrackState,
     boxes: jnp.ndarray,    # (D, 4) xyxy, padded
     scores: jnp.ndarray,   # (D,)
@@ -173,12 +157,11 @@ def tracker_step(
     low = valid & (scores >= 0.1) & ~high
 
     # stage 1: all active tracks (tracked + lost) vs high dets
-    a1 = _greedy_match(iou, state.active, high, 1.0 - match_thresh, rounds=d)
+    a1 = _match(iou, state.active, high, 1.0 - match_thresh)
     m1 = a1 >= 0
 
     # stage 2: unmatched TRACKED tracks vs low dets
-    a2 = _greedy_match(iou, state.active & state.tracked & ~m1, low,
-                       1.0 - low_gate, rounds=d)
+    a2 = _match(iou, state.active & state.tracked & ~m1, low, 1.0 - low_gate)
     m2 = a2 >= 0
 
     matched = m1 | m2
@@ -244,6 +227,34 @@ def tracker_step(
     det_tid = det_tid.at[jnp.where(takes & emit, slot_det, d)].set(
         jnp.where(takes & emit, track_id, -1), mode="drop")
     return new_state, det_tid
+
+
+tracker_step = functools.partial(
+    jax.jit,
+    static_argnames=("activation_thresh", "match_thresh", "low_gate",
+                     "max_time_lost", "min_consecutive"),
+)(_tracker_step_impl)
+
+
+def tracker_scan(
+    state: TrackState,
+    boxes: jnp.ndarray,    # (B, D, 4)
+    scores: jnp.ndarray,   # (B, D)
+    classes: jnp.ndarray,  # (B, D) int32
+    valid: jnp.ndarray,    # (B, D) bool
+    **static_kwargs,
+) -> Tuple[TrackState, jnp.ndarray]:
+    """K frames of tracking as ONE `lax.scan` — this is what the fused
+    megastep calls so tracker state never leaves the chip between frames
+    (per-frame host sync was the round-1 gap; now one transfer per batch).
+    Returns (state after frame K-1, det_track_ids (B, D))."""
+
+    def step(st, xs):
+        b, s, c, v = xs
+        st, tid = _tracker_step_impl(st, b, s, c, v, **static_kwargs)
+        return st, tid
+
+    return jax.lax.scan(step, state, (boxes, scores, classes, valid))
 
 
 class DeviceByteTrack:

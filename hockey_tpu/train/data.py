@@ -56,6 +56,8 @@ def pad_targets(boxes: np.ndarray, classes: np.ndarray,
 class YoloDataset:
     """YOLO-format directory dataset (images/ + labels/ siblings)."""
 
+    augmentable = True  # load() accepts hsv_jitter/flip
+
     def __init__(self, images_dir: str, labels_dir: Optional[str] = None,
                  imgsz: int = 640, max_gt: int = MAX_GT):
         import cv2  # noqa: F401
@@ -309,7 +311,7 @@ def batch_iterator(dataset, batch_size: int, steps: int, seed: int = 0,
     n = len(dataset)
 
     def load_one(i):
-        if isinstance(dataset, YoloDataset) and augment:
+        if getattr(dataset, "augmentable", False) and augment:
             return dataset.load(int(i), hsv_jitter=rng,
                                 flip=bool(rng.uniform() < 0.5))
         return dataset.load(int(i))

@@ -195,3 +195,47 @@ def evaluate_detector(
             item["boxes"][gt_m], item["classes"][gt_m],
         )
     return acc.compute()
+
+
+class InTrainingEvaluator:
+    """Periodic mAP evaluation during training with ONE compiled detect
+    program reused across evals (a fresh Detector per eval would recompile
+    the megastep every time). Batched: 8 images per device call."""
+
+    BATCH = 8
+
+    def __init__(self, cfg, imgsz: int, conf: float = 0.001):
+        from ..models.detector import build_detect_fn
+
+        self.cfg = cfg
+        self.imgsz = imgsz
+        self.conf = conf
+        self._fn = build_detect_fn(
+            cfg, imgsz=imgsz, frame_hw=(imgsz, imgsz), conf=conf,
+            rect=False, max_det=96, pre_topk=384)
+
+    def evaluate(self, params, dataset, indices: Sequence[int]) -> Dict[str, float]:
+        from ..models.layers import fuse_for_inference
+
+        fused = fuse_for_inference(params)
+        acc = EvalAccumulator(self.cfg.num_classes)
+        idx = list(indices)
+        for k in range(0, len(idx), self.BATCH):
+            chunk = idx[k: k + self.BATCH]
+            items = [dataset.load(int(i)) for i in chunk]
+            imgs = np.stack([(it["images"] * 255).astype(np.uint8)
+                             for it in items])
+            if len(chunk) < self.BATCH:  # static shapes: pad the tail
+                pad = np.repeat(imgs[-1:], self.BATCH - len(chunk), 0)
+                imgs = np.concatenate([imgs, pad])
+            det = self._fn(fused, imgs)
+            valid = np.asarray(det.valid)
+            boxes = np.asarray(det.boxes)
+            scores = np.asarray(det.scores)
+            classes = np.asarray(det.classes)
+            for j, it in enumerate(items):
+                v = valid[j]
+                gt_m = it["mask"]
+                acc.add_image(boxes[j][v], scores[j][v], classes[j][v],
+                              it["boxes"][gt_m], it["classes"][gt_m])
+        return acc.compute()

@@ -46,6 +46,21 @@ def main(argv=None) -> int:
     p.add_argument("--mixup", type=float, default=0.0,
                    help="mixup probability (ultralytics recipe: 0.15)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dataset", type=str, default="auto",
+                   choices=["auto", "hard", "hard-puck", "synthetic"],
+                   help="synthetic source when --images is absent: 'hard' "
+                        "= broadcast-like scenes (train/scenes.py), "
+                        "'hard-puck' = puck-labeled scenes")
+    p.add_argument("--pool", type=int, default=2000,
+                   help="pre-rendered scene pool size (hard datasets)")
+    p.add_argument("--val-every", type=int, default=0,
+                   help="evaluate mAP on held-out scenes every N steps and "
+                        "keep the best checkpoint")
+    p.add_argument("--val-size", type=int, default=150)
+    p.add_argument("--ema", type=float, default=0.0,
+                   help="EMA decay for eval/checkpoint weights (e.g. 0.999)")
+    p.add_argument("--init", type=str, default=None,
+                   help="initialize from an existing checkpoint")
     args = p.parse_args(argv)
 
     import jax
@@ -53,18 +68,24 @@ def main(argv=None) -> int:
     from ..models.checkpoint import save_params
     from ..models.yolov8 import MODEL_ZOO, YoloConfig, init_params
     from .data import SyntheticHockeyDataset, YoloDataset, batch_iterator
-    from .trainer import TrainConfig, make_optimizer, make_train_step
+    from .trainer import TrainConfig, init_ema, make_optimizer, make_train_step
 
     cfg = MODEL_ZOO[args.model]
     if args.variant:
         cfg = YoloConfig(args.variant, cfg.num_classes, cfg.num_keypoints)
     tc = TrainConfig(imgsz=args.imgsz, learning_rate=args.lr,
                      warmup_steps=args.warmup, total_steps=args.steps)
-    params = init_params(cfg, seed=args.seed)
+    if args.init:
+        from ..models.checkpoint import load_params
+
+        params = load_params(args.init)
+        print(f"initialized from {args.init}")
+    else:
+        params = init_params(cfg, seed=args.seed)
     opt = make_optimizer(tc)
     opt_state = opt.init(params)
-    step_fn = make_train_step(cfg, tc, opt)
 
+    val_dataset = None
     if args.images:
         dataset = YoloDataset(args.images, imgsz=args.imgsz)
         print(f"dataset: {len(dataset)} images from {args.images}")
@@ -73,9 +94,33 @@ def main(argv=None) -> int:
 
         dataset = SyntheticRinkDataset(imgsz=args.imgsz, seed=args.seed)
         print("dataset: synthetic rink views (pose model, no --images)")
+    elif args.dataset in ("hard", "hard-puck") or (
+            args.dataset == "auto" and args.val_every):
+        from .scenes import HardSyntheticHockeyDataset
+
+        pucks = args.dataset == "hard-puck"
+        dataset = HardSyntheticHockeyDataset(
+            imgsz=args.imgsz, seed=args.seed, pool_size=args.pool,
+            pucks=pucks)
+        # held-out split: disjoint seed space
+        val_dataset = HardSyntheticHockeyDataset(
+            imgsz=args.imgsz, seed=args.seed + 7777,
+            pool_size=args.val_size, pucks=pucks)
+        print(f"dataset: hard synthetic scenes (pool {args.pool}, "
+              f"pucks={pucks}); pre-rendering...")
+        import time as _t
+
+        t = _t.time()
+        dataset.pregenerate()
+        val_dataset.pregenerate()
+        print(f"pre-rendered {args.pool}+{args.val_size} scenes "
+              f"in {_t.time() - t:.0f}s")
     else:
         dataset = SyntheticHockeyDataset(imgsz=args.imgsz, seed=args.seed)
         print("dataset: synthetic (no --images given)")
+
+    step_fn = make_train_step(cfg, tc, opt, ema_decay=args.ema)
+    ema = init_ema(params) if args.ema else None
 
     n_dev = len(jax.devices())
     dp = args.dp or (n_dev // args.fsdp)
@@ -87,12 +132,38 @@ def main(argv=None) -> int:
         from ..core.mesh import make_mesh
         from ..parallel.sharding import jit_train_step, shard_batch, shard_params
 
+        if ema is not None:
+            print("note: --ema is single-device only; disabled under a mesh")
+            ema = None
+            step_fn = make_train_step(cfg, tc, opt)
         mesh = make_mesh(dp * args.fsdp, dp=dp, fsdp=args.fsdp)
         print(f"mesh: {dict(mesh.shape)}")
         params = shard_params(mesh, params)
     else:
         mesh = None
-        step = jax.jit(step_fn)
+        step = jax.jit(step_fn, donate_argnums=(0, 1, 2) if ema is not None
+                       else (0, 1))
+
+    evaluator = None
+    if args.val_every and val_dataset is not None:
+        from .eval import InTrainingEvaluator
+
+        evaluator = InTrainingEvaluator(cfg, imgsz=args.imgsz)
+    best_map = -1.0
+
+    def run_val(i, cur_params):
+        nonlocal best_map
+        m = evaluator.evaluate(cur_params, val_dataset,
+                               range(len(val_dataset)))
+        tag = ""
+        if m["mAP50"] > best_map:
+            best_map = m["mAP50"]
+            save_params(args.out + ".best", cur_params)
+            tag = " (best, saved)"
+        per_cls = " ".join(f"{k}={v:.3f}" for k, v in m.items()
+                           if k.startswith("AP50_class"))
+        print(f"step {i:6d} VAL mAP50 {m['mAP50']:.4f} "
+              f"mAP50-95 {m['mAP50_95']:.4f} {per_cls}{tag}", flush=True)
 
     t0 = time.time()
     it = batch_iterator(dataset, args.batch, args.steps, seed=args.seed,
@@ -108,6 +179,8 @@ def main(argv=None) -> int:
         if mesh is not None:
             with mesh:
                 params, opt_state, m = step(params, opt_state, batch)
+        elif ema is not None:
+            params, ema, opt_state, m = step(params, ema, opt_state, batch)
         else:
             params, opt_state, m = step(params, opt_state, batch)
         if i % args.log_every == 0 or i == args.steps - 1:
@@ -115,14 +188,21 @@ def main(argv=None) -> int:
             print(f"step {i:6d} loss {loss:8.4f} box {float(m['box_loss']):.4f} "
                   f"cls {float(m['cls_loss']):.4f} dfl {float(m['dfl_loss']):.4f} "
                   f"fg {float(m['num_fg']):.0f} "
-                  f"({(time.time() - t0) / max(i, 1):.2f}s/step)")
+                  f"({(time.time() - t0) / max(i, 1):.2f}s/step)", flush=True)
             if not np.isfinite(loss):
                 print("non-finite loss; aborting")
                 return 1
+        ckpt_params = params if ema is None else ema["params"]
+        if evaluator is not None and i and i % args.val_every == 0:
+            run_val(i, ckpt_params)
         if args.save_every and i and i % args.save_every == 0:
-            save_params(args.out, params)
-    save_params(args.out, params)
-    print(f"saved {args.out}")
+            save_params(args.out, ckpt_params)
+    ckpt_params = params if ema is None else ema["params"]
+    if evaluator is not None:
+        run_val(args.steps, ckpt_params)
+    save_params(args.out, ckpt_params)
+    print(f"saved {args.out} (best mAP50 {best_map:.4f})" if best_map >= 0
+          else f"saved {args.out}")
     return 0
 
 

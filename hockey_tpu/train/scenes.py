@@ -1,0 +1,420 @@
+"""Hard synthetic hockey scenes for detector training.
+
+The reference's deployed models were trained on a private Roboflow
+broadcast dataset (notebooks/train_player_detection.ipynb cells 5-13) to
+mAP50 0.690 / player 0.784 (cell 15). No real data ships in this
+environment, so this module renders procedurally *hard* broadcast-like
+scenes — perspective rink camera, boards + crowd clutter, player-player
+occlusion, motion blur, glare, lighting and scale jitter, JPEG artifacts —
+so the trained checkpoints demonstrate the training pipeline at a
+comparable difficulty rather than on flat-color rectangles.
+
+Scene model:
+- a random camera homography maps a window of the NHL rink plane
+  (rinkmap/dimensions.py) to the image; markings/boards/crowd are drawn
+  through it;
+- players stand ON the plane: foot position is projected, pixel height
+  comes from the local homography scale (far players are small);
+- players are articulated sprites (helmet/torso/pants/legs/skates/stick,
+  jersey number) in two per-scene team colors + goalie gear, drawn
+  back-to-front so overlaps occlude naturally;
+- labels are full-extent body boxes (clipped), kept when >= 30% visible;
+  referees are labeled as players (the reference remaps all person
+  classes into {player, goalie}).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+PLAYER_H_FT = 6.0  # skater height incl. skates/helmet
+
+
+def _homography(rng: np.random.Generator, s: int, rink) -> np.ndarray:
+    """Random broadcast camera: a window of the rink -> image trapezoid."""
+    from ..homography.ransac import dlt_homography
+
+    L, W = rink.length, rink.width
+    # visible window along the length; zoom varies (full-ice .. tight)
+    span = rng.uniform(0.3, 0.95) * L
+    cx = rng.uniform(span / 2, L - span / 2)
+    x0, x1 = cx - span / 2, cx + span / 2
+    # far side appears higher and narrower (camera above one side)
+    top_y = rng.uniform(0.02, 0.22) * s
+    bot_y = rng.uniform(0.85, 1.25) * s
+    top_inset = rng.uniform(0.04, 0.22) * s
+    bot_outset = rng.uniform(0.0, 0.25) * s
+    src = np.asarray([[x0, 0], [x1, 0], [x0, W], [x1, W]], np.float64)
+    dst = np.asarray([
+        [top_inset, top_y], [s - top_inset, top_y],
+        [-bot_outset, bot_y], [s + bot_outset, bot_y],
+    ], np.float64)
+    return dlt_homography(src, dst)
+
+
+def _project(h: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    from ..homography.ransac import project
+
+    return project(h, np.asarray(pts, np.float64))
+
+
+def _local_height(h: np.ndarray, x: float, y: float,
+                  feet: float = PLAYER_H_FT) -> float:
+    """Pixel height of a `feet`-tall upright object at rink point (x, y):
+    approximated by the projected length of an in-plane segment toward
+    the far boards (the camera elevation makes these comparable)."""
+    p = _project(h, np.asarray([[x, y], [x, max(y - feet, 0.01)]]))
+    return float(np.linalg.norm(p[0] - p[1]))
+
+
+def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
+                 rng: np.random.Generator, number: Optional[int] = None,
+                 is_goalie: bool = False, ghost: bool = False) -> List[float]:
+    """Articulated sprite at `foot` (bottom-center), `hpx` tall. Returns
+    the body extent box [x1, y1, x2, y2]."""
+    import cv2
+
+    fx, fy = foot
+    lean = rng.uniform(-0.12, 0.12)  # skating lean, shifts the top
+    w = hpx * (0.52 if is_goalie else 0.38) * rng.uniform(0.9, 1.15)
+    top = fy - hpx
+    cxt = fx + lean * hpx  # top center after lean
+
+    skin = (int(rng.uniform(120, 200)),) * 3
+    dark = (25, 25, 25)
+
+    def seg(y0f, y1f, widthf, color):
+        """Trapezoid segment between body fractions (0=top of body)."""
+        ya, yb = top + y0f * hpx, top + y1f * hpx
+        ca = cxt + (fx - cxt) * y0f
+        cb = cxt + (fx - cxt) * y1f
+        ww = widthf * w
+        pts = np.asarray([[ca - ww / 2, ya], [ca + ww / 2, ya],
+                          [cb + ww / 2, yb], [cb - ww / 2, yb]], np.int32)
+        cv2.fillPoly(img, [pts], color)
+        return [min(ca, cb) - ww / 2, ya, max(ca, cb) + ww / 2, yb]
+
+    alpha_img = img.copy() if ghost else None
+
+    # stick (behind the body)
+    if not is_goalie and rng.uniform() < 0.9:
+        sx = fx + rng.choice([-1, 1]) * rng.uniform(0.3, 0.9) * hpx
+        cv2.line(img, (int(fx), int(fy - 0.45 * hpx)),
+                 (int(sx), int(fy - rng.uniform(-0.02, 0.08) * hpx)),
+                 dark, max(1, int(hpx * 0.03)))
+    ext = []
+    # legs / skates
+    for side in (-1, 1):
+        lx = fx + side * w * 0.18
+        ext.append(seg(0.62, 0.97, 0.18,
+                       pants if is_goalie else (40, 40, 40)))
+        cv2.rectangle(img, (int(lx - w * 0.14), int(fy - hpx * 0.06)),
+                      (int(lx + w * 0.14), int(fy)), dark, -1)
+    ext.append(seg(0.42, 0.66, 0.5, pants))       # pants
+    ext.append(seg(0.14, 0.46, 1.0, jersey))      # torso
+    # arms
+    for side in (-1, 1):
+        ax = cxt + side * w * rng.uniform(0.55, 0.8)
+        pts = np.asarray([
+            [cxt + side * w * 0.4, top + 0.18 * hpx],
+            [ax, top + rng.uniform(0.3, 0.5) * hpx],
+        ], np.float32)
+        cv2.line(img, tuple(pts[0].astype(int)), tuple(pts[1].astype(int)),
+                 jersey, max(1, int(hpx * 0.07)))
+        ext.append([min(pts[0, 0], pts[1, 0]), pts[0, 1],
+                    max(pts[0, 0], pts[1, 0]), pts[1, 1]])
+    # head + helmet
+    hr = hpx * 0.085
+    hy = top + 0.08 * hpx
+    cv2.circle(img, (int(cxt), int(hy)), int(max(hr, 1)), skin, -1)
+    cv2.ellipse(img, (int(cxt), int(hy - hr * 0.25)),
+                (int(max(hr, 1)), int(max(hr * 0.8, 1))), 0, 180, 360,
+                dark if rng.uniform() < 0.8 else (180, 30, 30), -1)
+    ext.append([cxt - hr, top, cxt + hr, hy + hr])
+    # jersey number
+    if number is not None and hpx > 26:
+        scale = hpx / 110.0
+        cv2.putText(img, str(number),
+                    (int(cxt - w * 0.28), int(top + 0.36 * hpx)),
+                    cv2.FONT_HERSHEY_SIMPLEX, scale,
+                    (255, 255, 255) if sum(jersey) < 380 else (20, 20, 20),
+                    max(1, int(2 * scale)))
+    if ghost:  # motion-blur ghosting: blend a trailing copy
+        cv2.addWeighted(alpha_img, 0.45, img, 0.55, 0, dst=img)
+
+    e = np.asarray(ext, np.float32)
+    return [float(e[:, 0].min()), float(e[:, 1].min()),
+            float(e[:, 2].max()), float(e[:, 3].max())]
+
+
+def _team_colors(rng: np.random.Generator):
+    """Two distinct team colors (BGR) + pants; occasionally near-white."""
+    def col():
+        if rng.uniform() < 0.25:
+            v = int(rng.uniform(200, 255))
+            return (v, v, v)
+        c = rng.uniform(0, 255, 3)
+        c[int(rng.integers(0, 3))] = rng.uniform(150, 255)  # saturated-ish
+        return tuple(int(x) for x in c)
+
+    a = col()
+    while True:
+        b = col()
+        if np.abs(np.asarray(a, float) - b).sum() > 180:
+            break
+    return a, b
+
+
+def render_scene(rng: np.random.Generator, s: int = 640,
+                 pucks: bool = False) -> Tuple[np.ndarray, np.ndarray,
+                                               np.ndarray]:
+    """One scene. Returns (image uint8 BGR (s, s, 3), boxes xyxy, classes).
+
+    pucks=False: classes are {0: player, 1: goalie} (detector training).
+    pucks=True: classes are {0: puck}; players are unlabeled distractors
+    (the puck model is single-class, MODEL_ZOO['hockey-puck-detection'])."""
+    import cv2
+
+    from ..rinkmap.dimensions import NHL, default_keypoint_positions
+
+    rink = NHL
+    h = _homography(rng, s, rink)
+    table = default_keypoint_positions()
+    pts = _project(h, table)
+
+    # --- ice: slightly blue-white vertical gradient + noise
+    base = rng.uniform(215, 242)
+    grad = np.linspace(rng.uniform(-12, 0), rng.uniform(0, 10), s)[:, None]
+    img = np.clip(base + grad + rng.normal(0, 3, (s, s, 1)), 0,
+                  255).astype(np.uint8)
+    img = np.repeat(img, 3, axis=2)
+    img[..., 0] = np.clip(img[..., 0].astype(int) + int(rng.uniform(0, 10)),
+                          0, 255).astype(np.uint8)  # cool tint
+
+    # --- crowd above the far boards: coarse colored noise
+    far_edge = _project(h, np.asarray(
+        [[x, 0.0] for x in np.linspace(0, rink.length, 16)]))
+    board_y = int(np.clip(np.median(far_edge[:, 1]), 4, s - 4))
+    board_h = max(int(s * rng.uniform(0.04, 0.09)), 4)
+    crowd_top = max(board_y - board_h, 0)
+    if crowd_top > 2:
+        coarse = rng.integers(15, 130, (max(crowd_top // 6, 1), s // 6, 3),
+                              dtype=np.uint8)
+        img[:crowd_top] = cv2.resize(coarse, (s, crowd_top),
+                                     interpolation=cv2.INTER_NEAREST)
+    # boards band: pale with colored ad rectangles
+    img[crowd_top:board_y] = (230, 228, 224)
+    x = 0
+    while x < s:
+        wseg = int(rng.uniform(0.08, 0.25) * s)
+        if rng.uniform() < 0.55:
+            cv2.rectangle(img, (x, crowd_top), (x + wseg, board_y),
+                          tuple(int(v) for v in rng.uniform(30, 220, 3)), -1)
+        x += wseg
+    cv2.line(img, (0, board_y), (s, board_y), (180, 60, 40), 2)  # kickplate
+
+    # --- rink markings through known keypoint ids (dimensions.py layout)
+    blue, red = (170, 90, 30), (60, 50, 190)
+    thick = max(1, int(s / 320))
+
+    def line(a, b, color, t):
+        cv2.line(img, (int(pts[a][0]), int(pts[a][1])),
+                 (int(pts[b][0]), int(pts[b][1])), color, t)
+
+    line(20, 21, blue, 2 * thick)
+    line(23, 24, blue, 2 * thick)
+    line(26, 27, red, 2 * thick)
+    line(0, 1, red, thick)
+    line(36, 37, red, thick)
+    for c_id, r_id in ((28, 29), (5, 7), (6, 11), (41, 43), (42, 47)):
+        c = pts[c_id]
+        r = int(np.linalg.norm(pts[r_id] - c))
+        if 2 < r < s:
+            cv2.circle(img, (int(c[0]), int(c[1])), r, red, thick)
+
+    # --- players on the plane, back-to-front
+    team_a, team_b = _team_colors(rng)
+    pants_a = tuple(int(v) for v in rng.uniform(10, 90, 3))
+    pants_b = tuple(int(v) for v in rng.uniform(10, 90, 3))
+    hscale = rng.uniform(0.85, 1.2)  # scale jitter on top of perspective
+
+    n = int(rng.integers(4, 15))
+    actors = []  # (py, px, kind, team)
+    L, W = rink.length, rink.width
+    for j in range(n):
+        px = rng.uniform(5, L - 5)
+        py = rng.uniform(2, W - 2)
+        actors.append((py, px, "player", int(rng.uniform() < 0.5)))
+        # occlusion battles: a second player right next to this one
+        if rng.uniform() < 0.35:
+            actors.append((py + rng.uniform(-2.5, 2.5),
+                           px + rng.uniform(-3, 3), "player",
+                           int(rng.uniform() < 0.6)))
+    for gx in (11.0, L - 11.0):  # goalies at the creases
+        if rng.uniform() < 0.6:
+            actors.append((W / 2 + rng.uniform(-4, 4),
+                           gx + rng.uniform(-2, 2), "goalie", 2))
+    if rng.uniform() < 0.4:  # referee (striped, labeled player)
+        actors.append((rng.uniform(5, W - 5), rng.uniform(20, L - 20),
+                       "ref", 3))
+
+    actors.sort(key=lambda a: _project(h, [[a[1], a[0]]])[0][1])  # far first
+    boxes, classes = [], []
+    for py, px, kind, team in actors:
+        foot = _project(h, [[px, py]])[0]
+        hpx = _local_height(h, px, py) * hscale * rng.uniform(0.92, 1.08)
+        if hpx < 7 or hpx > 0.95 * s:
+            continue
+        if not (-0.3 * s < foot[0] < 1.3 * s and 0 < foot[1] < 1.25 * s):
+            continue
+        if kind == "goalie":
+            jersey = team_a if rng.uniform() < 0.5 else (40, 160, 160)
+            box = _draw_player(img, tuple(foot), hpx * 1.05, jersey,
+                               (30, 30, 30), rng, is_goalie=True)
+            cls = 1
+        elif kind == "ref":
+            box = _draw_player(img, tuple(foot), hpx, (235, 235, 235),
+                               (20, 20, 20), rng,
+                               number=None)
+            # stripes
+            x1, y1, x2, y2 = (int(v) for v in box)
+            for sx in range(x1, x2, max(2, (x2 - x1) // 6)):
+                cv2.line(img, (sx, y1 + (y2 - y1) // 5),
+                         (sx, y1 + (y2 - y1) // 2), (20, 20, 20), 1)
+            cls = 0
+        else:
+            jersey = team_a if team == 0 else team_b
+            pants = pants_a if team == 0 else pants_b
+            box = _draw_player(img, tuple(foot), hpx, jersey, pants, rng,
+                               number=int(rng.integers(1, 99)),
+                               ghost=rng.uniform() < 0.15)
+            cls = 0
+        # visibility gate: >= 30% of the body box inside the frame
+        cb = [max(box[0], 0), max(box[1], 0), min(box[2], s), min(box[3], s)]
+        area = max(cb[2] - cb[0], 0) * max(cb[3] - cb[1], 0)
+        full = (box[2] - box[0]) * (box[3] - box[1])
+        if full <= 0 or area / full < 0.3 or area < 16:
+            continue
+        if not pucks:
+            boxes.append(cb)
+            classes.append(cls)
+
+    # --- puck (and its label, in puck mode)
+    if pucks or rng.uniform() < 0.5:
+        for _ in range(1 if not pucks else int(rng.integers(1, 3))):
+            px, py = rng.uniform(8, L - 8), rng.uniform(2, W - 2)
+            c = _project(h, [[px, py]])[0]
+            hpx = _local_height(h, px, py)
+            pr = max(hpx * 0.03, 1.2)
+            if not (0 < c[0] < s and 0 < c[1] < s):
+                continue
+            cv2.ellipse(img, (int(c[0]), int(c[1])),
+                        (int(max(pr * 1.6, 2)), int(max(pr, 1))), 0, 0, 360,
+                        (20, 18, 18), -1)
+            if pucks:
+                boxes.append([c[0] - 2 * pr, c[1] - 1.5 * pr,
+                              c[0] + 2 * pr, c[1] + 1.5 * pr])
+                classes.append(0)
+
+    # --- glare patches
+    for _ in range(int(rng.integers(0, 3))):
+        overlay = img.copy()
+        cv2.ellipse(overlay,
+                    (int(rng.uniform(0, s)), int(rng.uniform(0, s))),
+                    (int(rng.uniform(0.1, 0.4) * s),
+                     int(rng.uniform(0.05, 0.2) * s)),
+                    int(rng.uniform(0, 180)), 0, 360, (255, 255, 255), -1)
+        cv2.addWeighted(overlay, rng.uniform(0.08, 0.3), img,
+                        1 - rng.uniform(0.08, 0.3), 0, dst=img)
+
+    # --- global motion blur / lighting / sensor noise / JPEG artifacts
+    if rng.uniform() < 0.35:
+        k = int(rng.integers(3, 8))
+        kern = np.zeros((k, k), np.float32)
+        ang = rng.uniform(0, np.pi)
+        cv2.line(kern, (0, int((k - 1) * (0.5 - 0.5 * np.sin(ang)))),
+                 (k - 1, int((k - 1) * (0.5 + 0.5 * np.sin(ang)))), 1.0, 1)
+        img = cv2.filter2D(img, -1, kern / max(kern.sum(), 1))
+    gain = rng.uniform(0.75, 1.15)
+    bias = rng.uniform(-18, 12)
+    img = np.clip(img.astype(np.float32) * gain + bias, 0, 255)
+    img = np.clip(img + rng.normal(0, rng.uniform(1, 6), img.shape),
+                  0, 255).astype(np.uint8)
+    if rng.uniform() < 0.6:
+        q = int(rng.integers(35, 92))
+        ok, enc = cv2.imencode(".jpg", img,
+                               [int(cv2.IMWRITE_JPEG_QUALITY), q])
+        if ok:
+            img = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+
+    return (img, np.asarray(boxes, np.float32).reshape(-1, 4),
+            np.asarray(classes, np.int32))
+
+
+class HardSyntheticHockeyDataset:
+    """Pool of pre-rendered hard scenes sampled with photometric/flip
+    augmentation per access. train/val splits use disjoint seed ranges."""
+
+    augmentable = True  # load() accepts hsv_jitter/flip
+
+    def __init__(self, imgsz: int = 640, seed: int = 0,
+                 pool_size: int = 2000, pucks: bool = False,
+                 max_gt: int = 64):
+        self.imgsz = imgsz
+        self.seed = seed
+        self.pool_size = pool_size
+        self.pucks = pucks
+        self.max_gt = max_gt
+        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def __len__(self) -> int:
+        return self.pool_size
+
+    def _scene(self, idx: int):
+        item = self._cache.get(idx)
+        if item is None:
+            rng = np.random.default_rng(
+                (self.seed + 1) * 1_000_003 + idx * 7919 + self.pucks)
+            item = render_scene(rng, self.imgsz, pucks=self.pucks)
+            self._cache[idx] = item
+        return item
+
+    def pregenerate(self, workers: int = 8) -> None:
+        """Fill the pool up front with a process pool (rendering is
+        cv2/numpy-bound; ~25-40 ms per 640px scene)."""
+        import concurrent.futures as cf
+
+        missing = [i for i in range(self.pool_size) if i not in self._cache]
+        if not missing:
+            return
+        with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+            for idx, item in zip(missing, ex.map(
+                    _render_for, [(self.seed, i, self.imgsz, self.pucks)
+                                  for i in missing], chunksize=16)):
+                self._cache[idx] = item
+
+    def load(self, idx: int, hsv_jitter: Optional[np.random.Generator] = None,
+             flip: bool = False) -> Dict[str, np.ndarray]:
+        from .data import hsv_augment, pad_targets
+
+        img, boxes, classes = self._scene(idx % self.pool_size)
+        boxes = boxes.copy()
+        if flip:
+            img = img[:, ::-1].copy()
+            if len(boxes):
+                x1 = self.imgsz - boxes[:, 2].copy()
+                boxes[:, 2] = self.imgsz - boxes[:, 0]
+                boxes[:, 0] = x1
+        if hsv_jitter is not None:
+            img = hsv_augment(img, hsv_jitter)
+        b, c, m = pad_targets(boxes, classes, self.max_gt)
+        return {"images": img.astype(np.float32) / 255.0,
+                "boxes": b, "classes": c, "mask": m}
+
+
+def _render_for(args):
+    seed, idx, imgsz, pucks = args
+    rng = np.random.default_rng((seed + 1) * 1_000_003 + idx * 7919 + pucks)
+    return render_scene(rng, imgsz, pucks=pucks)

@@ -112,11 +112,19 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
 
 
 def make_train_step(cfg: YoloConfig, tc: TrainConfig,
-                    optimizer: optax.GradientTransformation):
+                    optimizer: optax.GradientTransformation,
+                    ema_decay: float = 0.0):
     """Returns train_step(params, opt_state, batch) -> (params, opt_state,
     metrics). `batch` = {'images' (B,S,S,3) f32 [0,1], 'boxes' (B,M,4),
     'classes' (B,M), 'mask' (B,M)}. Pure function — jit/pjit at the call
-    site with the desired shardings."""
+    site with the desired shardings.
+
+    With ema_decay > 0 the signature becomes train_step(params, ema,
+    opt_state, batch) -> (params, ema, opt_state, metrics), where `ema` =
+    {'params': tree, 'count': scalar}: an exponential moving average of
+    the weights with the ultralytics-style warmup ramp
+    d_t = ema_decay * (1 - exp(-t/2000)) — checkpoints are saved from the
+    EMA (the reference's deployed .pt weights are EMA weights too)."""
 
     def loss_fn(params, batch):
         stats = StatsCollector()
@@ -129,7 +137,7 @@ def make_train_step(cfg: YoloConfig, tc: TrainConfig,
         vars_ = [v for _, _, v in stats.stats]
         return loss, (metrics, paths, means, vars_)
 
-    def train_step(params, opt_state, batch):
+    def _update(params, opt_state, batch):
         (loss, (metrics, paths, means, vars_)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -139,7 +147,29 @@ def make_train_step(cfg: YoloConfig, tc: TrainConfig,
         metrics["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, metrics
 
+    if not ema_decay:
+        return _update
+
+    import jax.numpy as jnp
+
+    def train_step(params, ema, opt_state, batch):
+        params, opt_state, metrics = _update(params, opt_state, batch)
+        t = ema["count"] + 1.0
+        d = ema_decay * (1.0 - jnp.exp(-t / 2000.0))
+        new = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                           ema["params"], params)
+        return params, {"params": new, "count": t}, opt_state, metrics
+
     return train_step
+
+
+def init_ema(params) -> Dict:
+    import jax.numpy as jnp
+
+    # real copies: the caller may donate params and ema to the same jitted
+    # step — aliased buffers would be donated twice
+    return {"params": jax.tree.map(lambda a: jnp.array(a, copy=True), params),
+            "count": jnp.asarray(0.0, jnp.float32)}
 
 
 def make_eval_step(cfg: YoloConfig, tc: TrainConfig):

@@ -30,6 +30,11 @@ class StageTimers:
     def count(self, name: str, n: int = 1) -> None:
         self.counters[name] += n
 
+    def reset(self) -> None:
+        self.totals.clear()
+        self.counts.clear()
+        self.counters.clear()
+
     def summary(self) -> Dict:
         out = {}
         for name, total in self.totals.items():

@@ -6,6 +6,92 @@ from hockey_tpu.tracking.device_tracker import DeviceByteTrack
 from tests.test_tracking import make_box
 
 
+class TestAuctionAssignment:
+    def test_matches_scipy_on_tracker_matrices(self):
+        """Auction == Hungarian (total benefit) on IoU-shaped matrices:
+        sparse, peaked, a detection overlaps 1-3 track predictions."""
+        import jax.numpy as jnp
+        from scipy.optimize import linear_sum_assignment
+
+        from hockey_tpu.ops.assignment import auction_match
+
+        rng = np.random.default_rng(0)
+        T, D = 32, 16
+        for trial in range(100):
+            b = np.zeros((T, D), np.float32)
+            # each det overlaps its "own" track strongly + 0-2 rivals
+            for j in range(int(rng.integers(1, D))):
+                i = int(rng.integers(0, T))
+                b[i, j] = rng.uniform(0.5, 0.95)
+                for _ in range(int(rng.integers(0, 3))):
+                    b[int(rng.integers(0, T)), j] = rng.uniform(0.05, 0.6)
+            row_ok = rng.random(T) < 0.7
+            col_ok = rng.random(D) < 0.9
+            a = np.asarray(auction_match(
+                jnp.asarray(b), jnp.asarray(row_ok), jnp.asarray(col_ok)))
+            ours = sum(b[i, a[i]] for i in range(T) if a[i] >= 0)
+            ri, ci = np.flatnonzero(row_ok), np.flatnonzero(col_ok)
+            opt = 0.0
+            if len(ri) and len(ci):
+                sub = b[np.ix_(ri, ci)]
+                r, c = linear_sum_assignment(sub, maximize=True)
+                opt = float(sub[r, c].sum())
+            # validity: no duplicate columns, masks respected
+            cols = a[a >= 0]
+            assert len(set(cols.tolist())) == len(cols)
+            assert all(row_ok[i] and col_ok[a[i]]
+                       for i in range(T) if a[i] >= 0)
+            # eps-CS bound: within n_matched * eps of the optimum
+            bound = max(len(cols), 1) * 2e-3 + 1e-5
+            assert opt - ours <= bound, f"trial {trial}: {opt} vs {ours}"
+
+
+class TestTrackerScan:
+    def test_scan_equals_sequential_steps(self):
+        """tracker_scan over K frames == K sequential tracker_step calls."""
+        import jax.numpy as jnp
+
+        from hockey_tpu.tracking.device_tracker import (
+            init_state,
+            tracker_scan,
+            tracker_step,
+        )
+
+        rng = np.random.default_rng(3)
+        K, D = 12, 8
+        boxes = np.zeros((K, D, 4), np.float32)
+        scores = np.full((K, D), -1.0, np.float32)
+        classes = np.zeros((K, D), np.int32)
+        valid = np.zeros((K, D), bool)
+        pos = rng.uniform(100, 700, (5, 2))
+        for f in range(K):
+            n = 5 if f % 4 != 3 else 3  # drop two dets every 4th frame
+            for j in range(n):
+                x, y = pos[j] + f * np.asarray([4.0, 1.5])
+                boxes[f, j] = [x, y, x + 30, y + 80]
+                scores[f, j] = 0.9 if j != 2 else 0.2  # one low-score det
+                valid[f, j] = True
+
+        kw = dict(activation_thresh=0.25, match_thresh=0.8,
+                  max_time_lost=30, min_consecutive=2)
+        st_seq = init_state(32)
+        tids_seq = []
+        for f in range(K):
+            st_seq, tid = tracker_step(
+                st_seq, jnp.asarray(boxes[f]), jnp.asarray(scores[f]),
+                jnp.asarray(classes[f]), jnp.asarray(valid[f]), **kw)
+            tids_seq.append(np.asarray(tid))
+        st_scan, tids = tracker_scan(
+            init_state(32), jnp.asarray(boxes), jnp.asarray(scores),
+            jnp.asarray(classes), jnp.asarray(valid), **kw)
+        np.testing.assert_array_equal(np.asarray(tids), np.stack(tids_seq))
+        np.testing.assert_allclose(np.asarray(st_scan.mean),
+                                   np.asarray(st_seq.mean), rtol=1e-5,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(st_scan.track_id),
+                                      np.asarray(st_seq.track_id))
+
+
 class TestDeviceByteTrack:
     def test_ids_stable_for_steady_targets(self):
         tr = DeviceByteTrack(minimum_consecutive_frames=2)
@@ -69,6 +155,42 @@ class TestDeviceByteTrack:
             if f > 0:
                 assert (np.argsort(h_ids) == np.argsort(d_ids)).all()
 
+    def test_matches_host_tracker_through_occlusion(self):
+        """Hungarian-semantics parity: crossing players + detection gaps +
+        low-score rescue. Host and device must emit the same detections
+        every frame with a consistent id bijection."""
+        from hockey_tpu.tracking.bytetrack import ByteTrack
+
+        host = ByteTrack(minimum_consecutive_frames=2, lost_track_buffer=30)
+        dev = DeviceByteTrack(minimum_consecutive_frames=2,
+                              lost_track_buffer=30)
+        rng = np.random.default_rng(11)
+        # 8 players: two pairs cross paths; one vanishes for 6 frames
+        start = rng.uniform(100, 800, (8, 2))
+        vel = rng.uniform(-4, 4, (8, 2))
+        vel[1] = -vel[0]  # head-on crossing pair
+        vel[3] = -vel[2]
+        id_map = {}
+        for f in range(30):
+            boxes, scores = [], []
+            idx = []
+            for j in range(8):
+                if j == 5 and 10 <= f < 16:
+                    continue  # occlusion gap
+                x, y = start[j] + f * vel[j]
+                boxes.append([x, y, x + 30, y + 80])
+                scores.append(0.9 if not (j == 6 and f % 3 == 0) else 0.2)
+                idx.append(j)
+            boxes = np.asarray(boxes, np.float32)
+            scores = np.asarray(scores, np.float32)
+            hb, hs, hc, h_ids = host.update(boxes, scores)
+            db, ds, dc, d_ids = dev.update(boxes, scores)
+            assert len(h_ids) == len(d_ids), f"frame {f}"
+            np.testing.assert_allclose(hb, db, atol=1e-3)
+            for hid, did in zip(h_ids.tolist(), d_ids.tolist()):
+                assert id_map.setdefault(hid, did) == did, \
+                    f"frame {f}: host id {hid} flipped device id"
+
     def test_capacity_and_padding_changes_dont_leak(self):
         tr = DeviceByteTrack(minimum_consecutive_frames=1)
         b, s, c, ids1 = tr.update(make_box(50, 50)[None], np.asarray([0.9]))
@@ -78,6 +200,65 @@ class TestDeviceByteTrack:
         b, s, c, ids = tr.update(boxes, np.full(10, 0.9, np.float32))
         assert len(ids) == 10
         assert ids[0] == ids1[0], "existing track lost identity on re-pad"
+
+    def test_fused_pipeline_equals_sequential_device_tracker(self, tmp_path):
+        """The fused detect+track batched path must produce byte-identical
+        frames to the sequential device-tracker path (same detections,
+        same scan semantics driving the same host stages)."""
+        import cv2
+        import jax.numpy as jnp
+
+        from hockey_tpu.core.config import ProcessingMode
+        from hockey_tpu.pipeline import VideoProcessor
+        from hockey_tpu.tracking.device_tracker import tracker_scan
+        from tests.test_pipeline import StubDetector, make_frame, small_config, H, W
+
+        clip = str(tmp_path / "clip.mp4")
+        wtr = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 30, (W, H))
+        for i in range(20):
+            wtr.write(make_frame(i))
+        wtr.release()
+
+        class FusedStubDetector(StubDetector):
+            """Stub detections + the REAL device tracker scan."""
+
+            def __init__(self, cfg):
+                super().__init__()
+                self.with_team_features = False
+                self._kw = dict(
+                    activation_thresh=cfg.track_activation_threshold,
+                    match_thresh=cfg.minimum_matching_threshold,
+                    max_time_lost=int(cfg.frame_rate / 30.0
+                                      * cfg.lost_track_buffer),
+                    min_consecutive=cfg.minimum_consecutive_frames,
+                )
+
+            def detect_track_batch(self, frames, state):
+                det = self.detect_batch(frames)
+                cls_ok = (det.classes == 0) | (det.classes == 1)
+                state, tids = tracker_scan(
+                    state, jnp.asarray(det.boxes), jnp.asarray(det.scores),
+                    jnp.asarray(det.classes),
+                    jnp.asarray(det.valid & cls_ok), **self._kw)
+                return det, None, tids, None, state
+
+        def run(fused):
+            cfg = small_config()
+            cfg.frame_batch = 5
+            cfg.use_device_tracker = True
+            cfg.max_tracks = 32
+            stub = FusedStubDetector(cfg) if fused else StubDetector()
+            p = VideoProcessor(config=cfg, mode=ProcessingMode.PLAYER_TRACKING,
+                               frame_hw=(H, W), player_detector=stub,
+                               team_names=("A", "B"))
+            assert p.use_fused_tracker == fused
+            return [f.copy() for f in p.process_video(clip)]
+
+        fused_frames = run(True)
+        seq_frames = run(False)
+        assert len(fused_frames) == len(seq_frames) == 20
+        for i, (a, b) in enumerate(zip(fused_frames, seq_frames)):
+            assert np.array_equal(a, b), f"frame {i} differs"
 
     def test_pipeline_with_device_tracker(self, tmp_path):
         import cv2
