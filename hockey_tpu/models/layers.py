@@ -232,9 +232,10 @@ def sppf_init(kg: KeyGen, cin: int, cout: int) -> Dict:
 
 
 def _maxpool5(x: jnp.ndarray) -> jnp.ndarray:
+    # -inf init (bf16 has infinities too): a finite init like finfo.min
+    # breaks reverse-mode autodiff of reduce_window-max
     return jax.lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        jax.lax.max, (1, 5, 5, 1), (1, 1, 1, 1),
+        x, -jnp.inf, jax.lax.max, (1, 5, 5, 1), (1, 1, 1, 1),
         [(0, 0), (2, 2), (2, 2), (0, 0)],
     )
 

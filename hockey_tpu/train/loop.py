@@ -61,6 +61,11 @@ def main(argv=None) -> int:
                    help="EMA decay for eval/checkpoint weights (e.g. 0.999)")
     p.add_argument("--init", type=str, default=None,
                    help="initialize from an existing checkpoint")
+    p.add_argument("--device-data", action="store_true",
+                   help="stage the scene pool in HBM and run mosaic/flip/"
+                        "HSV/mixup as XLA ops inside the train program "
+                        "(train/device_aug.py) — zero per-step host->device "
+                        "image transfer")
     args = p.parse_args(argv)
 
     import jax
@@ -164,6 +169,59 @@ def main(argv=None) -> int:
                            if k.startswith("AP50_class"))
         print(f"step {i:6d} VAL mAP50 {m['mAP50']:.4f} "
               f"mAP50-95 {m['mAP50_95']:.4f} {per_cls}{tag}", flush=True)
+
+    if args.device_data and mesh is None:
+        # device-resident pipeline: pool staged in HBM once, augmentation
+        # fused into the train program; host sends only a PRNG key/step
+        from .device_aug import make_device_batch_fn, stage_pool
+
+        print("staging scene pool in device memory...")
+        pool = stage_pool(dataset)
+        batch_fn = make_device_batch_fn(
+            args.imgsz, args.batch, mosaic_prob=args.mosaic,
+            mixup_prob=args.mixup)
+
+        if ema is not None:
+            def fused(params, ema, opt_state, pool, key):
+                return step_fn(params, ema, opt_state, batch_fn(pool, key))
+        else:
+            def fused(params, opt_state, pool, key):
+                return step_fn(params, opt_state, batch_fn(pool, key))
+        fused_step = jax.jit(fused, donate_argnums=(0, 1, 2)
+                             if ema is not None else (0, 1))
+        key = jax.random.PRNGKey(args.seed)
+        t0 = time.time()
+        for i in range(args.steps):
+            key, sub = jax.random.split(key)
+            if ema is not None:
+                params, ema, opt_state, m = fused_step(
+                    params, ema, opt_state, pool, sub)
+            else:
+                params, opt_state, m = fused_step(params, opt_state, pool, sub)
+            loss = float(m["loss"])  # per-step sync (tunnel: one in flight)
+            if i % args.log_every == 0 or i == args.steps - 1:
+                print(f"step {i:6d} loss {loss:8.4f} "
+                      f"box {float(m['box_loss']):.4f} "
+                      f"cls {float(m['cls_loss']):.4f} "
+                      f"dfl {float(m['dfl_loss']):.4f} "
+                      f"fg {float(m['num_fg']):.0f} "
+                      f"({(time.time() - t0) / max(i, 1):.2f}s/step)",
+                      flush=True)
+                if not np.isfinite(loss):
+                    print("non-finite loss; aborting")
+                    return 1
+            ckpt_params = params if ema is None else ema["params"]
+            if evaluator is not None and i and i % args.val_every == 0:
+                run_val(i, ckpt_params)
+            if args.save_every and i and i % args.save_every == 0:
+                save_params(args.out, ckpt_params)
+        ckpt_params = params if ema is None else ema["params"]
+        if evaluator is not None:
+            run_val(args.steps, ckpt_params)
+        save_params(args.out, ckpt_params)
+        print(f"saved {args.out} (best mAP50 {best_map:.4f})"
+              if best_map >= 0 else f"saved {args.out}")
+        return 0
 
     t0 = time.time()
     it = batch_iterator(dataset, args.batch, args.steps, seed=args.seed,

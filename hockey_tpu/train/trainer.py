@@ -86,6 +86,9 @@ class TrainConfig:
     weight_decay: float = 5e-4
     momentum: float = 0.937        # ultralytics SGD momentum
     grad_clip: float = 10.0
+    compute_dtype: str = "bfloat16"  # forward/backward compute; params,
+    # grads, optimizer state and the loss stay f32 (mixed precision — the
+    # MXU runs bf16 at ~8x the f32 conv rate)
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -126,9 +129,14 @@ def make_train_step(cfg: YoloConfig, tc: TrainConfig,
     d_t = ema_decay * (1 - exp(-t/2000)) — checkpoints are saved from the
     EMA (the reference's deployed .pt weights are EMA weights too)."""
 
+    import jax.numpy as _jnp
+
+    cdt = _jnp.dtype(tc.compute_dtype)
+
     def loss_fn(params, batch):
         stats = StatsCollector()
-        raw = forward_raw(params, batch["images"], cfg, stats=stats)
+        raw = forward_raw(params, batch["images"].astype(cdt), cfg,
+                          stats=stats)
         loss, metrics = detection_loss(raw, batch, cfg, tc.imgsz)
         # aux must be a pytree — unpack the collector into parallel lists
         # (paths are static strings; means/vars are traced arrays)

@@ -186,7 +186,9 @@ class TestShardedTraining:
         )
 
         params0 = init_params(TINY, seed=0)
-        tc = TrainConfig(imgsz=IMGSZ)
+        # f32 compute: this test checks sharding equivalence; bf16 shard
+        # reduction-order noise (~1%) would need a meaninglessly loose rtol
+        tc = TrainConfig(imgsz=IMGSZ, compute_dtype="float32")
         opt = make_optimizer(tc)
         batch = synth_batch(rng, b=8)
 
