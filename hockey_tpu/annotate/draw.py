@@ -159,10 +159,15 @@ class StyledLabelAnnotator(LabelAnnotator):
 
 
 def make_annotators(config: Config) -> Tuple[BoxAnnotator, LabelAnnotator]:
+    """Box (or ellipse, config.annotator_style) + label annotators."""
     palette = Palette(config.team_colors)
+    style = getattr(config, "annotator_style", "box")
+    box_cls = EllipseAnnotator if style == "ellipse" else BoxAnnotator
+    label_cls = (StyledLabelAnnotator if style == "styled"
+                 else LabelAnnotator)
     return (
-        BoxAnnotator(palette, config.annotation_thickness),
-        LabelAnnotator(
+        box_cls(palette, config.annotation_thickness),
+        label_cls(
             palette,
             text_scale=config.label_text_scale,
             text_thickness=config.label_text_thickness,

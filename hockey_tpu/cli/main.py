@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Detection resolution (default 1280).")
     p.add_argument("--conf", type=float, default=None,
                    help="Detection confidence threshold (default 0.4).")
+    p.add_argument("--annotator", type=str, default="box",
+                   choices=["box", "ellipse", "styled"],
+                   help="Player annotator style: rectangles (reference "
+                        "default), ground ellipses, or styled label chips.")
     p.add_argument("--json-metrics", type=str, default=None,
                    help="Write per-stage timing/counters JSON here.")
     p.add_argument("--limit-frames", type=int, default=None,
@@ -88,6 +92,7 @@ def main(argv=None) -> int:
         config.detection_imgsz = args.imgsz
     if args.conf is not None:
         config.detection_confidence = args.conf
+    config.annotator_style = args.annotator
 
     from ..pipeline import VideoProcessor, process_video_with_display
     from ..video.io import VideoInfo

@@ -69,6 +69,9 @@ class Config:
     annotation_thickness: int = 2
     label_text_scale: float = 0.6
     label_text_thickness: int = 2
+    # 'box' (reference default) | 'ellipse' (sv.EllipseAnnotator-style
+    # ground ellipses) | 'styled' (rounded label chips)
+    annotator_style: str = "box"
 
     # --- Rink keypoints (reference main.py:54-55).
     keypoint_confidence_threshold: float = 0.3

@@ -86,6 +86,7 @@ class CalibratorState:
         self.show_confidence = False
         self.selected: Optional[int] = None
         self.status = ""
+        self.last_quality = None  # HomographyQuality of the last RANSAC fit
 
     # -- keypoint editing ------------------------------------------------
     def select_near(self, x: float, y: float, radius: float = 20.0) -> Optional[int]:
@@ -132,6 +133,7 @@ class CalibratorState:
             self.status = f"Need >= 4 points ({len(src)} available)"
             return self.stabilizer.current
         h, quality = ransac_homography(src, dst)
+        self.last_quality = quality  # exported via --json-metrics gauges
         if h is None or not quality.is_valid(min_points=4):
             self.status = "Calibration rejected (low quality)"
             return self.stabilizer.current

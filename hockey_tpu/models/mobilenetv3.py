@@ -84,7 +84,10 @@ def init_params(seed: int = 0) -> Dict:
     return p
 
 
-def _conv_bn(p, x, stride=1, act=None, groups=1):
+def _conv_bn(p, x, stride=1, act=None, groups=1, stats=None):
+    """`stats` (a list) switches BN to batch statistics and records
+    (batch_mean, batch_var) in call order — used by contrastive training
+    and by `calibrate_bn` (the call order is the write-back order)."""
     w = p["w"].astype(x.dtype)
     k = w.shape[0]
     pad = k // 2
@@ -96,35 +99,94 @@ def _conv_bn(p, x, stride=1, act=None, groups=1):
     )
     if "bn" in p:
         bn = p["bn"]
-        scale = bn["scale"] * jax.lax.rsqrt(bn["var"] + 1e-3)
-        bias = bn["bias"] - bn["mean"] * scale
+        if stats is not None:
+            mean = jnp.mean(y.astype(jnp.float32), axis=(0, 1, 2))
+            var = jnp.var(y.astype(jnp.float32), axis=(0, 1, 2))
+            stats.append((mean, var))
+        else:
+            mean, var = bn["mean"], bn["var"]
+        scale = bn["scale"] * jax.lax.rsqrt(var + 1e-3)
+        bias = bn["bias"] - mean * scale
         y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
     elif "b" in p:
         y = y + p["b"].astype(y.dtype)
     return act(y) if act else y
 
 
-def embed(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+def embed(params: Dict, x: jnp.ndarray, stats=None) -> jnp.ndarray:
     """(B, H, W, 3) normalized images -> (B, 576) embeddings."""
-    y = _conv_bn(params["stem"], x, stride=2, act=_hswish)
+    y = _conv_bn(params["stem"], x, stride=2, act=_hswish, stats=stats)
     cin = 16
     for (k, exp, out, se, hs, stride), b in zip(_BLOCKS, params["blocks"]):
         act = _hswish if hs else jax.nn.relu
         inp = y
         if "expand" in b:
-            y = _conv_bn(b["expand"], y, act=act)
-        y = _conv_bn(b["dw"], y, stride=stride, act=act, groups=exp)
+            y = _conv_bn(b["expand"], y, act=act, stats=stats)
+        y = _conv_bn(b["dw"], y, stride=stride, act=act, groups=exp,
+                     stats=stats)
         if se:
             s = jnp.mean(y, axis=(1, 2), keepdims=True)
             s = _conv_bn(b["se"]["fc1"], s, act=jax.nn.relu)
             s = _hsigmoid(_conv_bn(b["se"]["fc2"], s))
             y = y * s
-        y = _conv_bn(b["project"], y)
+        y = _conv_bn(b["project"], y, stats=stats)
         if stride == 1 and cin == out:
             y = y + inp
         cin = out
-    y = _conv_bn(params["head"], y, act=_hswish)
+    y = _conv_bn(params["head"], y, act=_hswish, stats=stats)
     return jnp.mean(y, axis=(1, 2))  # global average pool -> (B, 576)
+
+
+def _bn_nodes(params: Dict) -> List[Dict]:
+    """BN param nodes in the same order _conv_bn visits them."""
+    nodes = [params["stem"]]
+    for b in params["blocks"]:
+        if "expand" in b:
+            nodes.append(b["expand"])
+        nodes.append(b["dw"])
+        nodes.append(b["project"])
+    nodes.append(params["head"])
+    return nodes
+
+
+def calibrate_bn(params: Dict, batches) -> Dict:
+    """Set BN running stats from forward passes over `batches` (iterable
+    of preprocessed (B, H, W, 3) arrays). Needed after batch-stat
+    training, which never tracks running statistics."""
+    sums = None
+    n = 0
+    for x in batches:
+        stats: List = []
+        embed(params, jnp.asarray(x), stats=stats)
+        vals = [(np.asarray(m), np.asarray(v)) for m, v in stats]
+        if sums is None:
+            sums = [[m.astype(np.float64), v.astype(np.float64)]
+                    for m, v in vals]
+        else:
+            for s, (m, v) in zip(sums, vals):
+                s[0] += m
+                s[1] += v
+        n += 1
+    out = jax.tree_util.tree_map(lambda a: a, params)  # shallow-ish copy
+    for node, (m, v) in zip(_bn_nodes(out), sums):
+        node["bn"] = dict(node["bn"])
+        node["bn"]["mean"] = jnp.asarray(m / n, jnp.float32)
+        node["bn"]["var"] = jnp.asarray(v / n, jnp.float32)
+    return out
+
+
+def load_default_params():
+    """Shipped contrastive-trained weights (teams/embed_train.py), or
+    None -> callers fall back to deterministic random init."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "weights", "team_embed.msgpack")
+    if not os.path.exists(path):
+        return None
+    from .checkpoint import load_params
+
+    return load_params(path)
 
 
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)

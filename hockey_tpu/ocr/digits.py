@@ -1,0 +1,216 @@
+"""Owned jersey-number recognizer (JAX).
+
+The documented jersey-OCR capability (reference README.md:95-98) depends
+on easyocr, which is not installable in every environment — round 1
+shipped the integration but the capability was a no-op here. This module
+makes it real with an owned model: a small convnet over torso crops with
+two classification heads (tens digit: none/0-9, ones digit: 0-9), trained
+on synthetic numbered jerseys (the same sprite model as
+train/scenes.py). ~100k params — trains on CPU in minutes, ships as a
+checkpoint in hockey_tpu/data/weights/.
+
+Inference contract: `predict(params, crops)` takes (N, 48, 48, 1) f32
+[0,1] contrast-normalized gray crops and returns (numbers, confidences)
+where confidence = P(tens) * P(ones).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.layers import KeyGen, conv_init
+
+CROP = 48
+TENS_NONE = 10  # tens-head class meaning "single digit"
+
+WEIGHTS_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "weights", "jersey_digits.msgpack")
+
+
+def init_digit_params(seed: int = 0) -> Dict:
+    kg = KeyGen(seed)
+    return {
+        "c1": conv_init(kg, 1, 24, 3, bn=False, bias=True),
+        "c2": conv_init(kg, 24, 48, 3, bn=False, bias=True),
+        "c3": conv_init(kg, 48, 96, 3, bn=False, bias=True),
+        "c4": conv_init(kg, 96, 128, 3, bn=False, bias=True),
+        "tens": conv_init(kg, 128, 11, 1, bn=False, bias=True),
+        "ones": conv_init(kg, 128, 10, 1, bn=False, bias=True),
+    }
+
+
+def forward(params: Dict, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, 48, 48, 1) f32 -> (tens logits (N, 11), ones logits (N, 10))."""
+    from ..models.layers import conv_apply
+
+    h = conv_apply(params["c1"], x, stride=2)        # 24
+    h = conv_apply(params["c2"], h, stride=2)        # 12
+    h = conv_apply(params["c3"], h, stride=2)        # 6
+    h = conv_apply(params["c4"], h, stride=2)        # 3
+    h = jnp.mean(h, axis=(1, 2), keepdims=True)      # GAP
+    tens = conv_apply(params["tens"], h, act=False)[:, 0, 0]
+    ones = conv_apply(params["ones"], h, act=False)[:, 0, 0]
+    return tens, ones
+
+
+def normalize_crop(crop_bgr: np.ndarray) -> np.ndarray:
+    """Torso crop -> (48, 48, 1) f32 contrast-normalized gray."""
+    import cv2
+
+    g = cv2.cvtColor(crop_bgr, cv2.COLOR_BGR2GRAY)
+    g = cv2.resize(g, (CROP, CROP)).astype(np.float32)
+    lo, hi = np.percentile(g, 5), np.percentile(g, 95)
+    g = np.clip((g - lo) / max(hi - lo, 1.0), 0.0, 1.0)
+    return g[..., None]
+
+
+def predict(params: Dict, crops: np.ndarray,
+            fn=None) -> Tuple[List[Optional[str]], np.ndarray]:
+    """(N, 48, 48, 1) crops -> per-crop number string (or None) + conf."""
+    n = len(crops)
+    bucket = max(8, 1 << (n - 1).bit_length())  # pad: stable jit shapes
+    if n < bucket:
+        crops = np.concatenate(
+            [crops, np.zeros((bucket - n,) + crops.shape[1:], crops.dtype)])
+    tens_l, ones_l = (fn or _jit_forward)(params, jnp.asarray(crops))
+    tens_l, ones_l = tens_l[:n], ones_l[:n]
+    pt = jax.nn.softmax(np.asarray(tens_l, np.float32), axis=-1)
+    po = jax.nn.softmax(np.asarray(ones_l, np.float32), axis=-1)
+    pt, po = np.asarray(pt), np.asarray(po)
+    t = pt.argmax(-1)
+    o = po.argmax(-1)
+    conf = pt.max(-1) * po.max(-1)
+    out: List[Optional[str]] = []
+    for ti, oi in zip(t, o):
+        out.append(str(oi) if ti == TENS_NONE else f"{ti}{oi}")
+    return out, conf
+
+
+_jit_forward = jax.jit(forward)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic jersey-number crops (training data)
+# ---------------------------------------------------------------------------
+
+def render_number_crop(rng: np.random.Generator,
+                       number: Optional[int] = None
+                       ) -> Tuple[np.ndarray, int, int]:
+    """One synthetic torso crop. Returns (BGR crop, tens label, ones)."""
+    import cv2
+
+    if number is None:
+        number = int(rng.integers(1, 100))
+    s = int(rng.integers(40, 110))
+    jersey = tuple(int(v) for v in rng.uniform(0, 255, 3)) \
+        if rng.uniform() < 0.75 else (int(rng.uniform(200, 255)),) * 3
+    img = np.full((s, s, 3), jersey, np.uint8)
+    # fabric noise / folds
+    img = np.clip(img.astype(np.int16)
+                  + rng.normal(0, rng.uniform(2, 9), img.shape), 0,
+                  255).astype(np.uint8)
+    if rng.uniform() < 0.4:  # shoulder stripe clutter
+        y = int(rng.uniform(0.05, 0.3) * s)
+        cv2.line(img, (0, y), (s, y),
+                 tuple(int(v) for v in rng.uniform(0, 255, 3)),
+                 max(1, s // 20))
+    digit_col = (250, 250, 250) if sum(jersey) < 380 else (15, 15, 15)
+    if rng.uniform() < 0.15:  # outlined style
+        digit_col = tuple(int(v) for v in rng.uniform(0, 255, 3))
+    text = str(number)
+    font = [cv2.FONT_HERSHEY_SIMPLEX, cv2.FONT_HERSHEY_DUPLEX,
+            cv2.FONT_HERSHEY_TRIPLEX][int(rng.integers(0, 3))]
+    scale = s / 55.0 * rng.uniform(0.7, 1.15) * (1.3 if len(text) == 1 else 1)
+    th = max(1, int(scale * 2))
+    (tw, thh), _ = cv2.getTextSize(text, font, scale, th)
+    ox = (s - tw) // 2 + int(rng.uniform(-0.08, 0.08) * s)
+    oy = (s + thh) // 2 + int(rng.uniform(-0.1, 0.1) * s)
+    cv2.putText(img, text, (ox, oy), font, scale, digit_col, th)
+    # small rotation / perspective lean
+    ang = rng.uniform(-12, 12)
+    m = cv2.getRotationMatrix2D((s / 2, s / 2), ang, rng.uniform(0.9, 1.1))
+    img = cv2.warpAffine(img, m, (s, s), borderMode=cv2.BORDER_REFLECT)
+    if rng.uniform() < 0.5:
+        img = cv2.blur(img, (int(rng.integers(1, 4)),) * 2)
+    gain = rng.uniform(0.6, 1.25)
+    img = np.clip(img.astype(np.float32) * gain
+                  + rng.uniform(-20, 20), 0, 255).astype(np.uint8)
+    tens = number // 10 if number >= 10 else TENS_NONE
+    return img, tens, number % 10
+
+
+def make_batch(rng: np.random.Generator, batch: int
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    xs, ts, os_ = [], [], []
+    for _ in range(batch):
+        img, t, o = render_number_crop(rng)
+        xs.append(normalize_crop(img))
+        ts.append(t)
+        os_.append(o)
+    return (np.stack(xs), np.asarray(ts, np.int32),
+            np.asarray(os_, np.int32))
+
+
+def train(steps: int = 3000, batch: int = 128, lr: float = 1e-3,
+          seed: int = 0, out: Optional[str] = None,
+          log_every: int = 200) -> Dict:
+    """Train the recognizer on synthetic crops; returns params."""
+    import optax
+
+    params = init_digit_params(seed)
+    opt = optax.adamw(optax.warmup_cosine_decay_schedule(
+        0.0, lr, 100, steps, lr * 0.01), weight_decay=1e-4)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, x, t, o):
+        tl, ol = forward(p, x)
+        lt = optax.softmax_cross_entropy_with_integer_labels(tl, t).mean()
+        lo = optax.softmax_cross_entropy_with_integer_labels(ol, o).mean()
+        acc = jnp.mean((tl.argmax(-1) == t) & (ol.argmax(-1) == o))
+        return lt + lo, acc
+
+    @jax.jit
+    def step(p, s, x, t, o):
+        (loss, acc), g = jax.value_and_grad(loss_fn, has_aux=True)(p, x, t, o)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, loss, acc
+
+    rng = np.random.default_rng(seed)
+    for i in range(steps):
+        x, t, o = make_batch(rng, batch)
+        params, opt_state, loss, acc = step(params, opt_state,
+                                            jnp.asarray(x), jnp.asarray(t),
+                                            jnp.asarray(o))
+        if i % log_every == 0 or i == steps - 1:
+            print(f"digit step {i:5d} loss {float(loss):.4f} "
+                  f"acc {float(acc):.3f}", flush=True)
+    if out:
+        from ..models.checkpoint import save_params
+
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        save_params(out, params)
+        print(f"saved {out}")
+    return params
+
+
+def load_default_params() -> Optional[Dict]:
+    if not os.path.exists(WEIGHTS_PATH):
+        return None
+    from ..models.checkpoint import load_params
+
+    return load_params(WEIGHTS_PATH)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--out", type=str, default=WEIGHTS_PATH)
+    args = ap.parse_args()
+    train(steps=args.steps, out=args.out)

@@ -5,9 +5,12 @@ SURVEY.md §0); spec from the docs: EasyOCR reads numbers from jersey
 crops, results are confidence-filtered and persisted per tracker ID so
 numbers survive frames where they are unreadable.
 
-easyocr is not installed in this environment; the reader degrades to a
-no-op that returns None for every track (the pipeline renders plain #id
-labels). When easyocr is importable it is used exactly as documented.
+Backends, in preference order:
+1. easyocr, exactly as documented — when importable;
+2. the owned JAX digit recognizer (ocr/digits.py) with its shipped
+   synthetic-trained checkpoint — so the capability works in
+   environments without easyocr (this one);
+3. no-op (plain #id labels) if neither is available.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ import numpy as np
 
 class JerseyNumberReader:
     def __init__(self, min_confidence: float = 0.5, read_every_n: int = 10,
-                 min_crop_height: int = 60):
+                 min_crop_height: int = 60, digit_params: Optional[Dict] = None):
         self.min_confidence = min_confidence
         self.read_every_n = read_every_n
         self.min_crop_height = min_crop_height
@@ -28,14 +31,23 @@ class JerseyNumberReader:
         self.confidences: Dict[int, float] = defaultdict(float)
         self._since_read: Dict[int, int] = defaultdict(lambda: 10 ** 9)
         self._reader = None
-        self.available = False
+        self.backend = None
         try:
             import easyocr  # optional dependency
 
             self._reader = easyocr.Reader(["en"], gpu=False, verbose=False)
-            self.available = True
+            self.backend = "easyocr"
         except Exception:
-            self._reader = None
+            from . import digits
+
+            self._digit_params = (digit_params if digit_params is not None
+                                  else digits.load_default_params())
+            if self._digit_params is not None:
+                self.backend = "digits"
+                # the owned model has no "no number visible" class; demand
+                # more confidence than easyocr's calibrated scores
+                self.min_confidence = max(self.min_confidence, 0.72)
+        self.available = self.backend is not None
 
     # ------------------------------------------------------------------
     def observe(self, frame: np.ndarray, boxes: np.ndarray,
@@ -45,6 +57,7 @@ class JerseyNumberReader:
         if not self.available:
             return
         h, w = frame.shape[:2]
+        due_crops, due_tids = [], []
         for b, tid in zip(boxes, tracker_ids):
             tid = int(tid)
             self._since_read[tid] += 1
@@ -61,6 +74,12 @@ class JerseyNumberReader:
             if crop.size == 0:
                 continue
             self._since_read[tid] = 0
+            if self.backend == "digits":
+                from . import digits
+
+                due_crops.append(digits.normalize_crop(crop))
+                due_tids.append(tid)
+                continue
             try:
                 results = self._reader.readtext(crop, allowlist="0123456789")
             except Exception:
@@ -69,6 +88,16 @@ class JerseyNumberReader:
                 text = text.strip()
                 if (text.isdigit() and 1 <= len(text) <= 2
                         and conf >= self.min_confidence
+                        and conf > self.confidences[tid]):
+                    self.numbers[tid] = text
+                    self.confidences[tid] = float(conf)
+        if due_crops:
+            from . import digits
+
+            texts, confs = digits.predict(self._digit_params,
+                                          np.stack(due_crops))
+            for tid, text, conf in zip(due_tids, texts, confs):
+                if (text is not None and conf >= self.min_confidence
                         and conf > self.confidences[tid]):
                     self.numbers[tid] = text
                     self.confidences[tid] = float(conf)

@@ -349,6 +349,13 @@ class VideoProcessor:
                 from .rinkmap.renderer import bottom_center_anchors
 
                 h = self.calibrator.process_frame(frame, kpts)
+                q = self.calibrator.last_quality
+                if q is not None:  # homography quality -> --json-metrics
+                    self.timers.gauge("homography_inlier_ratio",
+                                      q.inlier_ratio)
+                    self.timers.gauge("homography_reproj_error_ft",
+                                      q.mean_reprojection_error)
+                    self.timers.gauge("homography_points", q.n_points)
                 if h is not None:
                     rink_map = self.rink_renderer.render(
                         h, bottom_center_anchors(boxes), lookup)

@@ -47,7 +47,7 @@ class HybridTeamClassifier:
         self.n_clusters = n_clusters
         self.vote = MajorityVote(window=15, min_votes=5)
         self.scaler = StandardScaler()
-        self.params = mnv3.init_params(seed)
+        self.params = mnv3.load_default_params() or mnv3.init_params(seed)
         self._embed = jax.jit(mnv3.embed)
         self.fitted_features: Optional[np.ndarray] = None
         self.fitted_labels: Optional[np.ndarray] = None

@@ -112,6 +112,7 @@ class InteractiveTeamClassifier:
     def __init__(self, device: str = "tpu", confidence_threshold: float = 0.7):
         self.confidence_threshold = confidence_threshold
         self.examples: Dict[int, np.ndarray] = {}  # team -> (M, 113)
+        self.example_crops: Dict[int, List[np.ndarray]] = {}  # for montage
         self.player_history: Dict[int, List[int]] = defaultdict(list)
         self.history_window = 10
         self.min_examples_per_team = 2
@@ -129,10 +130,55 @@ class InteractiveTeamClassifier:
         f1 = np.asarray(interactive_features(to_device_batch(team1_crops)))
         self.examples = {0: f0[: self.max_examples_per_team],
                          1: f1[: self.max_examples_per_team]}
+        self.example_crops = {
+            0: [np.asarray(c) for c in team0_crops[: self.max_examples_per_team]],
+            1: [np.asarray(c) for c in team1_crops[: self.max_examples_per_team]],
+        }
         inter = float(similarity_matrix(self.examples[0], self.examples[1]).mean())
         if inter > 0.75:
             print(f"WARNING: Teams look similar (avg similarity: {inter:.2f})")
         return True
+
+    def visualize_examples(self) -> Optional[np.ndarray]:
+        """Montage of the selected example crops: one 100-px row per team
+        with 10-px gaps and count labels (reference
+        team_interactive.py:357-410 layout)."""
+        import cv2
+
+        if len(self.example_crops) < 2:
+            return None
+        target_height, gap = 100, 10
+        team_images = []
+        for team_id in (0, 1):
+            crops = []
+            for crop in self.example_crops[team_id]:
+                scale = target_height / max(crop.shape[0], 1)
+                crops.append(cv2.resize(
+                    crop, (max(int(crop.shape[1] * scale), 1), target_height)))
+            row = []
+            for c in crops[:-1]:
+                row.extend([c, np.full((target_height, gap, 3), 255, np.uint8)])
+            row.append(crops[-1])
+            team_images.append(np.hstack(row))
+        max_width = max(img.shape[1] for img in team_images)
+        for i, img in enumerate(team_images):
+            if img.shape[1] < max_width:
+                pad = np.full((target_height, max_width - img.shape[1], 3),
+                              255, np.uint8)
+                team_images[i] = np.hstack([img, pad])
+        y0 = 30
+        canvas = np.full((target_height * 2 + gap * 3 + 60, max_width, 3),
+                         255, np.uint8)
+        canvas[y0: y0 + target_height] = team_images[0]
+        canvas[y0 + target_height + gap: y0 + target_height * 2 + gap] = \
+            team_images[1]
+        n0, n1 = len(self.example_crops[0]), len(self.example_crops[1])
+        cv2.putText(canvas, f"Team 0 (White/Away) - {n0} examples", (10, 20),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 0, 0), 2)
+        cv2.putText(canvas, f"Team 1 (Colored/Home) - {n1} examples",
+                    (10, y0 + target_height + gap - 10),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 0, 0), 2)
+        return canvas
 
     def initialize_from_user_selection(self, frame, detections) -> bool:
         """OpenCV click-UI path (reference :54-132). detections is

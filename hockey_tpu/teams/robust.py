@@ -166,7 +166,7 @@ class RobustTeamClassifier:
             )
         except Exception:
             self._siglip = None
-        self._mnv3_params = mnv3.init_params(seed)
+        self._mnv3_params = mnv3.load_default_params() or mnv3.init_params(seed)
         self._embed = jax.jit(mnv3.embed)
 
     # ------------------------------------------------------------------

@@ -382,17 +382,18 @@ class HardSyntheticHockeyDataset:
         return item
 
     def pregenerate(self, workers: int = 8) -> None:
-        """Fill the pool up front with a process pool (rendering is
-        cv2/numpy-bound; ~25-40 ms per 640px scene)."""
+        """Fill the pool up front with a THREAD pool — cv2/numpy release
+        the GIL for the heavy ops, and forked process pools deadlock once
+        JAX's threads are live (fork-after-threads)."""
         import concurrent.futures as cf
 
         missing = [i for i in range(self.pool_size) if i not in self._cache]
         if not missing:
             return
-        with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
             for idx, item in zip(missing, ex.map(
                     _render_for, [(self.seed, i, self.imgsz, self.pucks)
-                                  for i in missing], chunksize=16)):
+                                  for i in missing])):
                 self._cache[idx] = item
 
     def load(self, idx: int, hsv_jitter: Optional[np.random.Generator] = None,

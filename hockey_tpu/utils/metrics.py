@@ -17,6 +17,7 @@ class StageTimers:
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
         self.counters: Dict[str, int] = defaultdict(int)
+        self.gauges: Dict[str, float] = {}  # last-value metrics
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -30,10 +31,14 @@ class StageTimers:
     def count(self, name: str, n: int = 1) -> None:
         self.counters[name] += n
 
+    def gauge(self, name: str, value: float) -> None:
+        self.gauges[name] = float(value)
+
     def reset(self) -> None:
         self.totals.clear()
         self.counts.clear()
         self.counters.clear()
+        self.gauges.clear()
 
     def summary(self) -> Dict:
         out = {}
@@ -42,6 +47,8 @@ class StageTimers:
             out[name] = {"total_s": round(total, 4), "calls": self.counts[name],
                          "mean_ms": round(total / n * 1000, 3)}
         out["counters"] = dict(self.counters)
+        if self.gauges:
+            out["gauges"] = dict(self.gauges)
         return out
 
     def dump_json(self, path: Optional[str]) -> None:
