@@ -257,7 +257,13 @@ class Detector:
                 from .checkpoint import load_params
                 params = load_params(checkpoint)
             else:
-                params = init_params(self.cfg, seed)
+                from .checkpoint import load_params, shipped_weights_path
+
+                shipped = shipped_weights_path(model_name)
+                if shipped:  # trained default (synthetic-hard recipe)
+                    params = load_params(shipped)
+                else:
+                    params = init_params(self.cfg, seed)
         if fuse:
             params = fuse_for_inference(params)
         self.params = params

@@ -106,12 +106,17 @@ class DualDetector:
         self.player_cfg = MODEL_ZOO[self.config.player_model_name]
         self.rink_cfg = MODEL_ZOO[self.config.hockey_model_name]
         self.with_team_features = with_team_features
-        self.player_params = fuse_for_inference(
-            load_params(checkpoint) if checkpoint
-            else init_params(self.player_cfg, seed))
-        self.rink_params = fuse_for_inference(
-            load_params(rink_checkpoint) if rink_checkpoint
-            else init_params(self.rink_cfg, seed + 1))
+        from .checkpoint import shipped_weights_path
+
+        def resolve(ckpt, name, cfg, seed_):
+            ckpt = ckpt or shipped_weights_path(name)
+            return load_params(ckpt) if ckpt else init_params(cfg, seed_)
+
+        self.player_params = fuse_for_inference(resolve(
+            checkpoint, self.config.player_model_name, self.player_cfg, seed))
+        self.rink_params = fuse_for_inference(resolve(
+            rink_checkpoint, self.config.hockey_model_name, self.rink_cfg,
+            seed + 1))
         self._fn = build_dual_fn(
             self.player_cfg, self.rink_cfg,
             imgsz=self.config.detection_imgsz, frame_hw=frame_hw,

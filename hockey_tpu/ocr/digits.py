@@ -105,18 +105,33 @@ def render_number_crop(rng: np.random.Generator,
     import cv2
 
     if number is None:
-        number = int(rng.integers(1, 100))
-    s = int(rng.integers(40, 110))
+        # single digits get equal airtime (they're 9/99 of uniform draws
+        # but half of real jerseys; under-sampling them taught the model
+        # to hallucinate a tens digit)
+        if rng.uniform() < 0.45:
+            number = int(rng.integers(1, 10))
+        else:
+            number = int(rng.integers(10, 100))
+    s = int(rng.integers(24, 110))
+    sw = max(int(s * rng.uniform(0.5, 1.2)), 12)  # crops aren't square
     jersey = tuple(int(v) for v in rng.uniform(0, 255, 3)) \
         if rng.uniform() < 0.75 else (int(rng.uniform(200, 255)),) * 3
-    img = np.full((s, s, 3), jersey, np.uint8)
+    # compose jersey on an ice-like background: torso crops routinely
+    # include the jersey boundary (strong edges) — train through it
+    ice = (int(rng.uniform(170, 245)),) * 3
+    img = np.full((s, sw, 3), ice, np.uint8)
+    jx1 = int(rng.uniform(0.0, 0.18) * sw)
+    jx2 = sw - int(rng.uniform(0.0, 0.18) * sw)
+    jy1 = int(rng.uniform(0.0, 0.15) * s)
+    jy2 = s - int(rng.uniform(0.0, 0.2) * s)
+    cv2.rectangle(img, (jx1, jy1), (jx2, jy2), jersey, -1)
     # fabric noise / folds
     img = np.clip(img.astype(np.int16)
                   + rng.normal(0, rng.uniform(2, 9), img.shape), 0,
                   255).astype(np.uint8)
     if rng.uniform() < 0.4:  # shoulder stripe clutter
         y = int(rng.uniform(0.05, 0.3) * s)
-        cv2.line(img, (0, y), (s, y),
+        cv2.line(img, (jx1, y), (jx2, y),
                  tuple(int(v) for v in rng.uniform(0, 255, 3)),
                  max(1, s // 20))
     digit_col = (250, 250, 250) if sum(jersey) < 380 else (15, 15, 15)
@@ -125,16 +140,18 @@ def render_number_crop(rng: np.random.Generator,
     text = str(number)
     font = [cv2.FONT_HERSHEY_SIMPLEX, cv2.FONT_HERSHEY_DUPLEX,
             cv2.FONT_HERSHEY_TRIPLEX][int(rng.integers(0, 3))]
-    scale = s / 55.0 * rng.uniform(0.7, 1.15) * (1.3 if len(text) == 1 else 1)
+    scale = min(s, sw * (1.9 if len(text) == 2 else 1.1)) / 55.0 \
+        * rng.uniform(0.6, 1.1)
     th = max(1, int(scale * 2))
     (tw, thh), _ = cv2.getTextSize(text, font, scale, th)
-    ox = (s - tw) // 2 + int(rng.uniform(-0.08, 0.08) * s)
-    oy = (s + thh) // 2 + int(rng.uniform(-0.1, 0.1) * s)
+    # digit anywhere plausibly inside the jersey region
+    ox = int(rng.uniform(jx1, max(jx2 - tw, jx1 + 1)))
+    oy = int(rng.uniform(jy1 + thh, max(jy2 - 2, jy1 + thh + 1)))
     cv2.putText(img, text, (ox, oy), font, scale, digit_col, th)
     # small rotation / perspective lean
     ang = rng.uniform(-12, 12)
-    m = cv2.getRotationMatrix2D((s / 2, s / 2), ang, rng.uniform(0.9, 1.1))
-    img = cv2.warpAffine(img, m, (s, s), borderMode=cv2.BORDER_REFLECT)
+    m = cv2.getRotationMatrix2D((sw / 2, s / 2), ang, rng.uniform(0.9, 1.1))
+    img = cv2.warpAffine(img, m, (sw, s), borderMode=cv2.BORDER_REFLECT)
     if rng.uniform() < 0.5:
         img = cv2.blur(img, (int(rng.integers(1, 4)),) * 2)
     gain = rng.uniform(0.6, 1.25)

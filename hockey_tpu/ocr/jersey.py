@@ -40,8 +40,12 @@ class JerseyNumberReader:
         except Exception:
             from . import digits
 
-            self._digit_params = (digit_params if digit_params is not None
-                                  else digits.load_default_params())
+            if digit_params is False:  # explicitly disabled (tests)
+                self._digit_params = None
+            elif digit_params is not None:
+                self._digit_params = digit_params
+            else:
+                self._digit_params = digits.load_default_params()
             if self._digit_params is not None:
                 self.backend = "digits"
                 # the owned model has no "no number visible" class; demand

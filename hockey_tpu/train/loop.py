@@ -116,7 +116,13 @@ def main(argv=None) -> int:
         import time as _t
 
         t = _t.time()
-        dataset.pregenerate()
+        cache = (f"/tmp/hockey_scenes_{args.imgsz}_{args.pool}_"
+                 f"{args.seed}_{int(pucks)}.npz")
+        if dataset.load_cache(cache):
+            print(f"loaded scene pool from {cache}")
+        else:
+            dataset.pregenerate()
+            dataset.save_cache(cache)
         val_dataset.pregenerate()
         print(f"pre-rendered {args.pool}+{args.val_size} scenes "
               f"in {_t.time() - t:.0f}s")

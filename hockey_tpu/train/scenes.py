@@ -32,13 +32,14 @@ import numpy as np
 PLAYER_H_FT = 6.0  # skater height incl. skates/helmet
 
 
-def _homography(rng: np.random.Generator, s: int, rink) -> np.ndarray:
+def _homography(rng: np.random.Generator, s: int, rink,
+                span_range=(0.3, 0.95)) -> np.ndarray:
     """Random broadcast camera: a window of the rink -> image trapezoid."""
     from ..homography.ransac import dlt_homography
 
     L, W = rink.length, rink.width
     # visible window along the length; zoom varies (full-ice .. tight)
-    span = rng.uniform(0.3, 0.95) * L
+    span = rng.uniform(*span_range) * L
     cx = rng.uniform(span / 2, L - span / 2)
     x0, x1 = cx - span / 2, cx + span / 2
     # far side appears higher and narrower (camera above one side)
@@ -51,7 +52,7 @@ def _homography(rng: np.random.Generator, s: int, rink) -> np.ndarray:
         [top_inset, top_y], [s - top_inset, top_y],
         [-bot_outset, bot_y], [s + bot_outset, bot_y],
     ], np.float64)
-    return dlt_homography(src, dst)
+    return dlt_homography(src, dst), (x0, x1)
 
 
 def _project(h: np.ndarray, pts: np.ndarray) -> np.ndarray:
@@ -180,7 +181,10 @@ def render_scene(rng: np.random.Generator, s: int = 640,
     from ..rinkmap.dimensions import NHL, default_keypoint_positions
 
     rink = NHL
-    h = _homography(rng, s, rink)
+    # puck scenes mimic SAHI tiles: tighter zoom so the puck spans several
+    # strides (sub-stride objects never bootstrap TAL's iou^6 alignment)
+    h, (wx0, wx1) = _homography(
+        rng, s, rink, span_range=(0.10, 0.38) if pucks else (0.3, 0.95))
     table = default_keypoint_positions()
     pts = _project(h, table)
 
@@ -243,8 +247,12 @@ def render_scene(rng: np.random.Generator, s: int = 640,
     n = int(rng.integers(4, 15))
     actors = []  # (py, px, kind, team)
     L, W = rink.length, rink.width
+    # sample mostly inside the visible window (tight zooms would otherwise
+    # render near-empty frames)
+    lo, hi = max(wx0 - 8, 2), min(wx1 + 8, L - 2)
     for j in range(n):
-        px = rng.uniform(5, L - 5)
+        px = rng.uniform(lo, hi) if rng.uniform() < 0.8 \
+            else rng.uniform(5, L - 5)
         py = rng.uniform(2, W - 2)
         actors.append((py, px, "player", int(rng.uniform() < 0.5)))
         # occlusion battles: a second player right next to this one
@@ -304,10 +312,11 @@ def render_scene(rng: np.random.Generator, s: int = 640,
     # --- puck (and its label, in puck mode)
     if pucks or rng.uniform() < 0.5:
         for _ in range(1 if not pucks else int(rng.integers(1, 3))):
-            px, py = rng.uniform(8, L - 8), rng.uniform(2, W - 2)
+            px = rng.uniform(max(wx0, 8), min(wx1, L - 8))
+            py = rng.uniform(2, W - 2)
             c = _project(h, [[px, py]])[0]
             hpx = _local_height(h, px, py)
-            pr = max(hpx * 0.03, 1.2)
+            pr = max(hpx * 0.06, 2.0)
             if not (0 < c[0] < s and 0 < c[1] < s):
                 continue
             cv2.ellipse(img, (int(c[0]), int(c[1])),
@@ -395,6 +404,42 @@ class HardSyntheticHockeyDataset:
                     _render_for, [(self.seed, i, self.imgsz, self.pucks)
                                   for i in missing])):
                 self._cache[idx] = item
+
+    def save_cache(self, path: str) -> None:
+        """Persist the rendered pool (uint8 images + labels) so training
+        restarts skip the ~10-minute re-render."""
+        import io
+
+        n = self.pool_size
+        imgs = np.stack([self._scene(i)[0] for i in range(n)])
+        nb = [self._scene(i)[1] for i in range(n)]
+        nc = [self._scene(i)[2] for i in range(n)]
+        counts = np.asarray([len(b) for b in nb], np.int32)
+        m = int(counts.max()) if n else 0
+        boxes = np.zeros((n, m, 4), np.float32)
+        classes = np.zeros((n, m), np.int32)
+        for i, (b, c) in enumerate(zip(nb, nc)):
+            boxes[i, : len(b)] = b
+            classes[i, : len(c)] = c
+        buf = io.BytesIO()
+        np.savez(buf, images=imgs, boxes=boxes, classes=classes,
+                 counts=counts)
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
+
+    def load_cache(self, path: str) -> bool:
+        import os
+
+        if not os.path.exists(path):
+            return False
+        with np.load(path, allow_pickle=False) as z:
+            if len(z["counts"]) != self.pool_size:
+                return False
+            for i in range(self.pool_size):
+                k = int(z["counts"][i])
+                self._cache[i] = (z["images"][i], z["boxes"][i][:k],
+                                  z["classes"][i][:k])
+        return True
 
     def load(self, idx: int, hsv_jitter: Optional[np.random.Generator] = None,
              flip: bool = False) -> Dict[str, np.ndarray]:

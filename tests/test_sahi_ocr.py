@@ -74,12 +74,13 @@ class TestPuckTracker:
 
 class TestOCR:
     def test_unavailable_degrades_gracefully(self):
-        r = JerseyNumberReader()
-        # easyocr is not installed in this environment
-        assert r.available is False
-        r.observe(np.zeros((100, 100, 3), np.uint8),
-                  np.asarray([[10, 10, 50, 90]]), np.asarray([1]))
-        assert r.get_number(1) is None
+        r = JerseyNumberReader(digit_params=False)  # force no backend
+        # (easyocr is not installed; digit weights explicitly disabled)
+        if r.backend is None:
+            assert r.available is False
+            r.observe(np.zeros((100, 100, 3), np.uint8),
+                      np.asarray([[10, 10, 50, 90]]), np.asarray([1]))
+            assert r.get_number(1) is None
 
     def test_number_persistence_api(self):
         r = JerseyNumberReader()
@@ -87,3 +88,76 @@ class TestOCR:
         assert r.get_number(5) == "42"
         r.drop(5)
         assert r.get_number(5) is None
+
+
+class TestOwnedDigitRecognizer:
+    def test_recognizer_reads_synthetic_jerseys(self):
+        """A quickly-trained recognizer must read held-out synthetic
+        numbers (the shipped checkpoint trains 3500 steps; 300 here keeps
+        the test fast while proving the train/infer path learns)."""
+        from hockey_tpu.ocr import digits
+
+        params = digits.load_default_params()
+        if params is None:
+            params = digits.train(steps=300, batch=64, out=None,
+                                  log_every=1000)
+            min_acc = 0.5
+        else:
+            min_acc = 0.9
+        rng = np.random.default_rng(123)
+        hits = total = 0
+        for _ in range(60):
+            crop, tens, ones = digits.render_number_crop(rng)
+            want = (str(ones) if tens == digits.TENS_NONE
+                    else f"{tens}{ones}")
+            got, conf = digits.predict(
+                params, digits.normalize_crop(crop)[None])
+            total += 1
+            hits += int(got[0] == want)
+        assert hits / total >= min_acc, f"digit accuracy {hits}/{total}"
+
+    def test_player_tracking_renders_numbers_end_to_end(self):
+        """PLAYER_TRACKING golden test: numbered jerseys in the clip must
+        surface as '#id (NN)' labels via the owned recognizer."""
+        import cv2
+
+        from hockey_tpu.ocr import digits
+
+        params = digits.load_default_params()
+        if params is None:
+            import pytest
+
+            pytest.skip("shipped digit checkpoint not present")
+
+        from hockey_tpu.core.config import ProcessingMode
+        from hockey_tpu.pipeline import VideoProcessor
+        from tests.test_pipeline import StubDetector, small_config, H, W
+
+        numbers = {j: n for j, n in enumerate((7, 23, 88, 4, 55, 12, 9, 31))}
+
+        def frame_with_numbers(i):
+            from tests.test_pipeline import N_PLAYERS, player_pos
+
+            f = np.full((H, W, 3), 235, np.uint8)
+            for j in range(N_PLAYERS):
+                x, y = player_pos(i, j)
+                color = (30, 30, 200) if j % 2 else (120, 40, 40)
+                cv2.rectangle(f, (x, y), (x + 24, y + 60), color, -1)
+                cv2.putText(f, str(numbers[j]), (x + 2, y + 32),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                            (255, 255, 255), 2)
+            return f
+
+        p = VideoProcessor(config=small_config(),
+                           mode=ProcessingMode.PLAYER_TRACKING,
+                           frame_hw=(H, W), player_detector=StubDetector(),
+                           team_names=("A", "B"))
+        assert p.ocr is not None and p.ocr.backend == "digits"
+        p.ocr.read_every_n = 1
+        p.ocr.min_crop_height = 30
+        for i in range(12):
+            out = p.process_frame(frame_with_numbers(i))
+        got = set(p.ocr.numbers.values())
+        want = {str(n) for n in numbers.values()}
+        assert len(got & want) >= 4, f"read {got}, wanted some of {want}"
+        assert out.shape == (H, W, 3)

@@ -302,3 +302,68 @@ class TestFramePredictFastPath:
         many = clf.predict_from_frame(frame, np.repeat(b, 40, 0))
         assert len(many) == 40
         assert (many == one[0]).all()
+
+
+class TestInteractiveMontage:
+    def test_visualize_examples_layout(self, rng):
+        """Montage parity with reference team_interactive.py:357-410: two
+        100-px rows of example crops with 10-px gaps + count labels."""
+        from hockey_tpu.teams.interactive import InteractiveTeamClassifier
+
+        c = InteractiveTeamClassifier()
+        assert c.visualize_examples() is None  # before initialization
+        crops0 = [np.full((80, 40, 3), 240, np.uint8) for _ in range(3)]
+        crops1 = [np.full((60, 30, 3), (0, 0, 180), np.uint8)
+                  for _ in range(2)]
+        assert c.initialize_from_examples(crops0, crops1)
+        canvas = c.visualize_examples()
+        assert canvas is not None and canvas.dtype == np.uint8
+        # 2 rows of 100 px + 3 gaps of 10 + 60 header space
+        assert canvas.shape[0] == 100 * 2 + 10 * 3 + 60
+        # team-0 row: 3 crops at 50px wide + 2 gaps
+        assert canvas.shape[1] == 3 * 50 + 2 * 10
+        # crops actually pasted (not all white)
+        assert (canvas < 200).any()
+
+
+class TestTrainedEmbeddings:
+    def test_color_ambiguous_teams_separate(self):
+        """Two teams with the SAME hue but different patterns (solid vs
+        hoops) must separate in the trained embedding space — the signal
+        color features alone cannot provide (reference contract:
+        team_robust.py:59-97 leans on visual embeddings for this)."""
+        import pytest
+
+        from hockey_tpu.models import mobilenetv3 as mnv3
+        from hockey_tpu.teams.embed_train import render_design
+
+        params = mnv3.load_default_params()
+        if params is None:
+            pytest.skip("shipped embedding checkpoint not present")
+        rng = np.random.default_rng(5)
+        base = np.asarray([40.0, 40.0, 200.0])  # same red hue for both
+        da = {"base": base, "second": np.asarray([240.0, 240.0, 240.0]),
+              "pattern": "solid"}
+        db = {"base": base, "second": np.asarray([240.0, 240.0, 240.0]),
+              "pattern": "hoops"}
+        crops = [render_design(rng, da) for _ in range(8)] + \
+                [render_design(rng, db) for _ in range(8)]
+        import jax.numpy as jnp
+
+        z = np.asarray(mnv3.embed(
+            params, mnv3.preprocess_bgr(jnp.asarray(np.stack(crops)))))
+        z = z / (np.linalg.norm(z, axis=1, keepdims=True) + 1e-6)
+        sim = z @ z.T
+        within = (sim[:8, :8].sum() - 8 + sim[8:, 8:].sum() - 8) / (2 * 56)
+        across = sim[:8, 8:].mean()
+        assert within > across + 0.08, (
+            f"within {within:.3f} vs across {across:.3f}")
+        # 2-means on the embeddings must recover the two patterns
+        from sklearn.cluster import KMeans
+
+        labels = KMeans(n_clusters=2, random_state=0, n_init=10).fit(z).labels_
+        acc = max((labels[:8] == labels[0]).mean()
+                  + (labels[8:] != labels[0]).mean(),
+                  (labels[:8] != labels[0]).mean()
+                  + (labels[8:] == labels[0]).mean()) / 2
+        assert acc >= 0.9, f"cluster accuracy {acc}"
