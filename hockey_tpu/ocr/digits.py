@@ -113,7 +113,7 @@ def render_number_crop(rng: np.random.Generator,
         else:
             number = int(rng.integers(10, 100))
     s = int(rng.integers(24, 110))
-    sw = max(int(s * rng.uniform(0.5, 1.2)), 12)  # crops aren't square
+    sw = max(int(s * rng.uniform(0.35, 1.25)), 12)  # crops aren't square
     jersey = tuple(int(v) for v in rng.uniform(0, 255, 3)) \
         if rng.uniform() < 0.75 else (int(rng.uniform(200, 255)),) * 3
     # compose jersey on an ice-like background: torso crops routinely
@@ -142,7 +142,9 @@ def render_number_crop(rng: np.random.Generator,
             cv2.FONT_HERSHEY_TRIPLEX][int(rng.integers(0, 3))]
     scale = min(s, sw * (1.9 if len(text) == 2 else 1.1)) / 55.0 \
         * rng.uniform(0.6, 1.1)
-    th = max(1, int(scale * 2))
+    # stroke weight varies independently of glyph size (broadcast numbers
+    # are often disproportionately bold at small pixel sizes)
+    th = max(1, int(scale * 2) + int(rng.integers(-1, 2)))
     (tw, thh), _ = cv2.getTextSize(text, font, scale, th)
     # digit anywhere plausibly inside the jersey region
     ox = int(rng.uniform(jx1, max(jx2 - tw, jx1 + 1)))

@@ -433,12 +433,15 @@ class HardSyntheticHockeyDataset:
         if not os.path.exists(path):
             return False
         with np.load(path, allow_pickle=False) as z:
-            if len(z["counts"]) != self.pool_size:
+            counts = z["counts"]
+            if len(counts) != self.pool_size:
                 return False
-            for i in range(self.pool_size):
-                k = int(z["counts"][i])
-                self._cache[i] = (z["images"][i], z["boxes"][i][:k],
-                                  z["classes"][i][:k])
+            # materialize each array ONCE: every z[key] access decompresses
+            # the full array again, and slice views pin each fresh copy
+            images, boxes, classes = z["images"], z["boxes"], z["classes"]
+        for i in range(self.pool_size):
+            k = int(counts[i])
+            self._cache[i] = (images[i], boxes[i][:k], classes[i][:k])
         return True
 
     def load(self, idx: int, hsv_jitter: Optional[np.random.Generator] = None,

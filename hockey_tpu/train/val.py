@@ -21,6 +21,14 @@ def main(argv=None) -> int:
     p.add_argument("--conf", type=float, default=0.001)
     p.add_argument("--limit", type=int, default=200,
                    help="max images to evaluate")
+    p.add_argument("--dataset", type=str, default="synthetic",
+                   choices=["synthetic", "hard", "hard-puck"],
+                   help="synthetic source when --images is absent; 'hard' "
+                        "evaluates on held-out broadcast-like scenes "
+                        "(train/scenes.py, the training loop's val split)")
+    p.add_argument("--seed", type=int, default=7777,
+                   help="scene seed for --dataset hard (7777 = the "
+                        "training loop's held-out split for --seed 0)")
     p.add_argument("--json", action="store_true", help="print metrics as JSON")
     args = p.parse_args(argv)
 
@@ -39,6 +47,14 @@ def main(argv=None) -> int:
     if args.images:
         ds = YoloDataset(args.images, imgsz=args.imgsz)
         n = min(len(ds), args.limit)
+    elif args.dataset in ("hard", "hard-puck"):
+        from .scenes import HardSyntheticHockeyDataset
+
+        ds = HardSyntheticHockeyDataset(
+            imgsz=args.imgsz, seed=args.seed, pool_size=args.limit,
+            pucks=args.dataset == "hard-puck")
+        ds.pregenerate()
+        n = args.limit
     else:
         ds = SyntheticHockeyDataset(imgsz=args.imgsz, seed=0)
         n = min(args.limit, 50)
