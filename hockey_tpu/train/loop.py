@@ -61,6 +61,12 @@ def main(argv=None) -> int:
                    help="EMA decay for eval/checkpoint weights (e.g. 0.999)")
     p.add_argument("--init", type=str, default=None,
                    help="initialize from an existing checkpoint")
+    p.add_argument("--precise-bn", type=int, default=8,
+                   help="recalibrate BN running stats over N clean batches "
+                        "before every val/checkpoint (0 = off). Running "
+                        "stats EMA'd under heavy augmentation go stale; "
+                        "without this a good train-mode model can eval "
+                        "dead (mAP 0)")
     p.add_argument("--device-data", action="store_true",
                    help="stage the scene pool in HBM and run mosaic/flip/"
                         "HSV/mixup as XLA ops inside the train program "
@@ -162,8 +168,31 @@ def main(argv=None) -> int:
         evaluator = InTrainingEvaluator(cfg, imgsz=args.imgsz)
     best_map = -1.0
 
+    # precise-BN: recalibrate running stats on clean train-distribution
+    # images before any eval/save (single-device only; under a mesh the
+    # fsdp-sharded stats fn is not worth the plumbing)
+    recal = None
+    if args.precise_bn and mesh is None:
+        from .trainer import make_bn_stats_fn, precise_bn
+
+        stats_fn = make_bn_stats_fn(cfg, tc.compute_dtype)
+        rb = min(8, args.batch)
+
+        def recal_batches():
+            for k in range(args.precise_bn):
+                idx = [(k * rb + j) % len(dataset) for j in range(rb)]
+                yield np.stack([dataset.load(int(i))["images"]
+                                for i in idx])
+
+        def recal(p):
+            return precise_bn(p, stats_fn, recal_batches())
+
+    def prep_ckpt(p):
+        return recal(p) if recal is not None else p
+
     def run_val(i, cur_params):
         nonlocal best_map
+        cur_params = prep_ckpt(cur_params)
         m = evaluator.evaluate(cur_params, val_dataset,
                                range(len(val_dataset)))
         tag = ""
@@ -197,6 +226,8 @@ def main(argv=None) -> int:
                              if ema is not None else (0, 1))
         key = jax.random.PRNGKey(args.seed)
         t0 = time.time()
+        bad = 0
+        collapsed = 0
         for i in range(args.steps):
             key, sub = jax.random.split(key)
             if ema is not None:
@@ -205,6 +236,25 @@ def main(argv=None) -> int:
             else:
                 params, opt_state, m = fused_step(params, opt_state, pool, sub)
             loss = float(m["loss"])  # per-step sync (tunnel: one in flight)
+            # the trainer discards non-finite updates (bf16 spike guard);
+            # only a persistent streak means training is hopeless
+            bad = bad + 1 if not np.isfinite(loss) else 0
+            if bad >= 25:
+                print("non-finite loss for 25 consecutive steps; aborting")
+                return 1
+            # TAL degenerate-minimum detector: box_loss ~ 0 with fg anchors
+            # present means targets collapsed (model predicts nothing and the
+            # task-aligned targets shrank to match) — further steps are
+            # wasted; the best val checkpoint is already on disk
+            collapsed = (collapsed + 1
+                         if (i > 200 and np.isfinite(loss)
+                             and float(m["box_loss"]) < 0.02
+                             and float(m["num_fg"]) > 0) else 0)
+            if collapsed >= 100:
+                print(f"step {i}: TAL collapse detected (box_loss ~ 0 for "
+                      f"100 consecutive steps); stopping early. Restart "
+                      f"from the saved best checkpoint at a lower --lr.")
+                return 3
             if i % args.log_every == 0 or i == args.steps - 1:
                 print(f"step {i:6d} loss {loss:8.4f} "
                       f"box {float(m['box_loss']):.4f} "
@@ -213,23 +263,22 @@ def main(argv=None) -> int:
                       f"fg {float(m['num_fg']):.0f} "
                       f"({(time.time() - t0) / max(i, 1):.2f}s/step)",
                       flush=True)
-                if not np.isfinite(loss):
-                    print("non-finite loss; aborting")
-                    return 1
             ckpt_params = params if ema is None else ema["params"]
             if evaluator is not None and i and i % args.val_every == 0:
                 run_val(i, ckpt_params)
             if args.save_every and i and i % args.save_every == 0:
-                save_params(args.out, ckpt_params)
+                save_params(args.out, prep_ckpt(ckpt_params))
         ckpt_params = params if ema is None else ema["params"]
         if evaluator is not None:
             run_val(args.steps, ckpt_params)
-        save_params(args.out, ckpt_params)
+        save_params(args.out, prep_ckpt(ckpt_params))
         print(f"saved {args.out} (best mAP50 {best_map:.4f})"
               if best_map >= 0 else f"saved {args.out}")
         return 0
 
     t0 = time.time()
+    bad = 0
+    collapsed = 0
     it = batch_iterator(dataset, args.batch, args.steps, seed=args.seed,
                     mosaic_prob=args.mosaic, mixup_prob=args.mixup)
     for i, batch in enumerate(it):
@@ -253,18 +302,31 @@ def main(argv=None) -> int:
                   f"cls {float(m['cls_loss']):.4f} dfl {float(m['dfl_loss']):.4f} "
                   f"fg {float(m['num_fg']):.0f} "
                   f"({(time.time() - t0) / max(i, 1):.2f}s/step)", flush=True)
-            if not np.isfinite(loss):
-                print("non-finite loss; aborting")
+            # skip-guarded updates (trainer.py): only a streak of bad
+            # logged losses means training is hopeless
+            bad = bad + 1 if not np.isfinite(loss) else 0
+            if bad >= 3:
+                print("non-finite loss persists; aborting")
                 return 1
+            # TAL degenerate-minimum detector (see device-data loop)
+            collapsed = (collapsed + 1
+                         if (i > 200 and np.isfinite(loss)
+                             and float(m["box_loss"]) < 0.02
+                             and float(m["num_fg"]) > 0) else 0)
+            if collapsed >= 5:
+                print(f"step {i}: TAL collapse detected (box_loss ~ 0); "
+                      f"stopping early. Restart from the saved best "
+                      f"checkpoint at a lower --lr.")
+                return 3
         ckpt_params = params if ema is None else ema["params"]
         if evaluator is not None and i and i % args.val_every == 0:
             run_val(i, ckpt_params)
         if args.save_every and i and i % args.save_every == 0:
-            save_params(args.out, ckpt_params)
+            save_params(args.out, prep_ckpt(ckpt_params))
     ckpt_params = params if ema is None else ema["params"]
     if evaluator is not None:
         run_val(args.steps, ckpt_params)
-    save_params(args.out, ckpt_params)
+    save_params(args.out, prep_ckpt(ckpt_params))
     print(f"saved {args.out} (best mAP50 {best_map:.4f})" if best_map >= 0
           else f"saved {args.out}")
     return 0

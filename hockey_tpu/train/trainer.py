@@ -148,11 +148,21 @@ def make_train_step(cfg: YoloConfig, tc: TrainConfig,
     def _update(params, opt_state, batch):
         (loss, (metrics, paths, means, vars_)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        params = update_bn_stats(params, zip(paths, means, vars_))
+        gn = optax.global_norm(grads)
+        # mixed-precision guard: a rare bf16 overflow step must not poison
+        # the weights — discard the whole update (params, opt state, BN
+        # stats) and carry on, like a GradScaler-skipped step
+        ok = _jnp.isfinite(loss) & _jnp.isfinite(gn)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = update_bn_stats(new_params, zip(paths, means, vars_))
+        params = jax.tree.map(lambda n, o: _jnp.where(ok, n, o),
+                              new_params, params)
+        opt_state = jax.tree.map(lambda n, o: _jnp.where(ok, n, o),
+                                 new_opt_state, opt_state)
         metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = gn
+        metrics["skipped"] = 1.0 - ok.astype(_jnp.float32)
         return params, opt_state, metrics
 
     if not ema_decay:
@@ -178,6 +188,54 @@ def init_ema(params) -> Dict:
     # step — aliased buffers would be donated twice
     return {"params": jax.tree.map(lambda a: jnp.array(a, copy=True), params),
             "count": jnp.asarray(0.0, jnp.float32)}
+
+
+def make_bn_stats_fn(cfg: YoloConfig, compute_dtype: str = "bfloat16"):
+    """Jitted forward that returns {bn_path: (batch_mean, batch_var)}."""
+    import jax.numpy as _jnp
+
+    cdt = _jnp.dtype(compute_dtype)
+
+    def stats_fn(params, imgs):
+        col = StatsCollector()
+        forward_raw(params, imgs.astype(cdt), cfg, stats=col)
+        return {p: (m, v) for p, m, v in col.stats}
+
+    return jax.jit(stats_fn)
+
+
+def precise_bn(params: Dict, stats_fn, batches) -> Dict:
+    """Precise-BN recalibration: replace every BN layer's running stats
+    with batch statistics averaged over `batches` of clean (unaugmented)
+    images. BN running stats EMA'd during training lag the weights and —
+    under heavy augmentation — track a different input distribution than
+    eval sees; a trained-to-0.87-trainmode checkpoint can score mAP 0.0 in
+    eval mode from stale stats alone (measured round 2). Standard fix from
+    the large-batch training literature; torch analogue is
+    `update_bn_stats` in fvcore. Returns new params (input untouched)."""
+    import numpy as _np
+    import jax.numpy as _jnp
+
+    acc_m: Dict = {}
+    acc_s: Dict = {}
+    n = 0
+    for imgs in batches:
+        out = jax.device_get(stats_fn(params, imgs))
+        for p, (m, v) in out.items():
+            m = m.astype(_np.float64)
+            v = v.astype(_np.float64)
+            acc_m[p] = acc_m.get(p, 0.0) + m
+            acc_s[p] = acc_s.get(p, 0.0) + v + m**2
+        n += 1
+    if not n:
+        return params
+    stats = []
+    for p in acc_m:
+        mu = acc_m[p] / n
+        var = _np.maximum(acc_s[p] / n - mu**2, 0.0)
+        stats.append((p, _jnp.asarray(mu, _jnp.float32),
+                      _jnp.asarray(var, _jnp.float32)))
+    return update_bn_stats(params, stats, momentum=1.0)
 
 
 def make_eval_step(cfg: YoloConfig, tc: TrainConfig):
