@@ -203,3 +203,53 @@ def make_device_batch_fn(s: int, batch: int, max_gt: int = MAX_GT,
                 "mask": masks}
 
     return batch_fn
+
+
+# ---------------------------------------------------------------------------
+# Pose (rink keypoint) pools: same HBM-staging idea, keypoints carried along
+# ---------------------------------------------------------------------------
+
+def stage_pose_pool(dataset, n: int) -> Dict[str, jnp.ndarray]:
+    """Pre-render n pose items (images + padded gt + keypoints) and stage
+    them in device memory. The rink scenes are cheap to render but at
+    512px+ the per-step host->device transfer dominates behind the tunnel;
+    staging once removes it entirely."""
+    imgs, boxes, classes, masks, kpts = [], [], [], [], []
+    for i in range(n):
+        it = dataset.load(i)
+        imgs.append((it["images"] * 255.0).astype(np.uint8))
+        boxes.append(it["boxes"])
+        classes.append(it["classes"])
+        masks.append(it["mask"])
+        kpts.append(it["keypoints"])
+    return {
+        "images": jnp.asarray(np.stack(imgs)),
+        "boxes": jnp.asarray(np.stack(boxes)),
+        "classes": jnp.asarray(np.stack(classes)),
+        "mask": jnp.asarray(np.stack(masks)),
+        "keypoints": jnp.asarray(np.stack(kpts)),
+    }
+
+
+def make_pose_batch_fn(batch: int, hsv: bool = True):
+    """Device batch sampler for pose pools: random gather + HSV jitter.
+    No flip/mosaic — horizontal flip would require a left-right landmark
+    remap table and the pool already covers the camera distribution."""
+
+    def batch_fn(pool, key):
+        k_idx, k_hsv = jax.random.split(key)
+        n = pool["images"].shape[0]
+        idx = jax.random.randint(k_idx, (batch,), 0, n)
+        imgs = pool["images"][idx].astype(jnp.float32) / 255.0
+        if hsv:
+            imgs = jax.vmap(hsv_jitter)(
+                imgs, jax.random.split(k_hsv, batch))
+        return {
+            "images": imgs,
+            "boxes": pool["boxes"][idx],
+            "classes": pool["classes"][idx],
+            "mask": pool["mask"][idx],
+            "keypoints": pool["keypoints"][idx],
+        }
+
+    return batch_fn

@@ -208,13 +208,21 @@ def main(argv=None) -> int:
     if args.device_data and mesh is None:
         # device-resident pipeline: pool staged in HBM once, augmentation
         # fused into the train program; host sends only a PRNG key/step
-        from .device_aug import make_device_batch_fn, stage_pool
+        if cfg.num_keypoints:
+            from .device_aug import make_pose_batch_fn, stage_pose_pool
 
-        print("staging scene pool in device memory...")
-        pool = stage_pool(dataset)
-        batch_fn = make_device_batch_fn(
-            args.imgsz, args.batch, mosaic_prob=args.mosaic,
-            mixup_prob=args.mixup)
+            print(f"staging pose pool ({args.pool} scenes) in device "
+                  "memory...")
+            pool = stage_pose_pool(dataset, args.pool)
+            batch_fn = make_pose_batch_fn(args.batch)
+        else:
+            from .device_aug import make_device_batch_fn, stage_pool
+
+            print("staging scene pool in device memory...")
+            pool = stage_pool(dataset)
+            batch_fn = make_device_batch_fn(
+                args.imgsz, args.batch, mosaic_prob=args.mosaic,
+                mixup_prob=args.mixup)
 
         if ema is not None:
             def fused(params, ema, opt_state, pool, key):
@@ -248,6 +256,7 @@ def main(argv=None) -> int:
             # wasted; the best val checkpoint is already on disk
             collapsed = (collapsed + 1
                          if (i > 200 and np.isfinite(loss)
+                             and not cfg.num_keypoints
                              and float(m["box_loss"]) < 0.02
                              and float(m["num_fg"]) > 0) else 0)
             if collapsed >= 100:
@@ -311,6 +320,7 @@ def main(argv=None) -> int:
             # TAL degenerate-minimum detector (see device-data loop)
             collapsed = (collapsed + 1
                          if (i > 200 and np.isfinite(loss)
+                             and not cfg.num_keypoints
                              and float(m["box_loss"]) < 0.02
                              and float(m["num_fg"]) > 0) else 0)
             if collapsed >= 5:
