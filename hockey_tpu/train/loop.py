@@ -6,13 +6,12 @@ HSV + flip augmentation, periodic checkpointing, optional (dp x fsdp)
 mesh sharding. Works against a YOLO-format dataset directory or the
 synthetic dataset when none is given.
 
-Recipe notes: the default --lr 0.01 matches ultralytics SGD lr0 and suits
-real datasets. On the small synthetic dataset, long runs at lr 0.01 can
-fall into TAL's degenerate minimum (worse boxes shrink the task-aligned
-targets, which shrinks the loss — the model learns to predict nothing);
---lr 0.001 trains stably there (2500 steps of the n variant reaches
-mAP50 ~0.50 via train.val). Real-scale objects/datasets don't exhibit
-this (initial IoUs are large enough that targets never collapse).
+Recipe notes: the default --lr 0.01 matches ultralytics SGD lr0. Earlier
+rounds saw runs fall into TAL's degenerate minimum (worse boxes shrink
+the task-aligned targets, which shrinks the loss — the model learns to
+predict nothing). Root cause was gradients leaking through the assignment
+into the soft targets; fixed with stop_gradient in losses.py. The
+collapse detector below remains as a tripwire.
 """
 
 from __future__ import annotations
@@ -270,6 +269,7 @@ def main(argv=None) -> int:
                       f"cls {float(m['cls_loss']):.4f} "
                       f"dfl {float(m['dfl_loss']):.4f} "
                       f"fg {float(m['num_fg']):.0f} "
+                      f"gn {float(m.get('grad_norm', float('nan'))):.1f} "
                       f"({(time.time() - t0) / max(i, 1):.2f}s/step)",
                       flush=True)
             ckpt_params = params if ema is None else ema["params"]
@@ -310,6 +310,7 @@ def main(argv=None) -> int:
             print(f"step {i:6d} loss {loss:8.4f} box {float(m['box_loss']):.4f} "
                   f"cls {float(m['cls_loss']):.4f} dfl {float(m['dfl_loss']):.4f} "
                   f"fg {float(m['num_fg']):.0f} "
+                  f"gn {float(m.get('grad_norm', float('nan'))):.1f} "
                   f"({(time.time() - t0) / max(i, 1):.2f}s/step)", flush=True)
             # skip-guarded updates (trainer.py): only a streak of bad
             # logged losses means training is hopeless

@@ -72,8 +72,16 @@ def detection_loss(
     pred_xyxy_px = pred_xyxy_grid * strides[None, :, None]
 
     scores = jax.nn.sigmoid(cls_flat)
+    # assignment must be gradient-free (ultralytics detaches scores/boxes
+    # before TAL — tal.py TaskAlignedAssigner.forward). Without the stop,
+    # the soft targets t = align/max_align * max_iou are differentiable in
+    # the predictions and the optimizer finds the degenerate minimum
+    # directly: worse predictions -> smaller targets -> smaller loss
+    # (measured: stable training collapses to box_loss ~ 0 within ~100
+    # steps of reaching peak LR).
     assign = assign_batch(
-        scores, pred_xyxy_px, pts_px,
+        jax.lax.stop_gradient(scores),
+        jax.lax.stop_gradient(pred_xyxy_px), pts_px,
         batch["boxes"], batch["classes"], batch["mask"],
         num_classes=nc,
     )
