@@ -111,6 +111,56 @@ class TestLoss:
         assert nonzero > len(leaves) * 0.5, "most params received no gradient"
 
 
+class TestTALStopGradient:
+    """Regression for the training collapse: the task-aligned assignment
+    must be gradient-free (ultralytics detaches predictions before TAL).
+    With a leak, box/dfl losses pick up gradients w.r.t. cls logits (and
+    cls loss w.r.t. box logits) through the soft targets, giving the
+    optimizer a direct 'make predictions worse to shrink the targets'
+    path — measured to collapse real runs within ~100 steps of peak LR."""
+
+    def _raw_and_batch(self):
+        key = jax.random.PRNGKey(3)
+        sizes = [IMGSZ // s for s in (8, 16, 32)]
+        raw = {
+            "box": [0.1 * jax.random.normal(
+                jax.random.fold_in(key, i), (2, s, s, 4 * TINY.reg_max))
+                for i, s in enumerate(sizes)],
+            "cls": [0.1 * jax.random.normal(
+                jax.random.fold_in(key, 10 + i), (2, s, s, TINY.num_classes))
+                for i, s in enumerate(sizes)],
+        }
+        batch = synth_batch(np.random.default_rng(0))
+        # the scenario must actually assign anchors for the check to bite
+        _, metrics = detection_loss(raw, batch, TINY, IMGSZ)
+        assert float(metrics["num_fg"]) > 0
+        return raw, batch
+
+    def test_box_and_dfl_losses_have_no_cls_gradient(self):
+        raw, batch = self._raw_and_batch()
+
+        def box_plus_dfl(cls_list):
+            _, m = detection_loss({"box": raw["box"], "cls": cls_list},
+                                  batch, TINY, IMGSZ)
+            return m["box_loss"] + m["dfl_loss"]
+
+        g = jax.grad(box_plus_dfl)(raw["cls"])
+        for lvl in g:
+            np.testing.assert_array_equal(np.asarray(lvl), 0.0)
+
+    def test_cls_loss_has_no_box_gradient(self):
+        raw, batch = self._raw_and_batch()
+
+        def cls_only(box_list):
+            _, m = detection_loss({"box": box_list, "cls": raw["cls"]},
+                                  batch, TINY, IMGSZ)
+            return m["cls_loss"]
+
+        g = jax.grad(cls_only)(raw["box"])
+        for lvl in g:
+            np.testing.assert_array_equal(np.asarray(lvl), 0.0)
+
+
 class TestTrainStep:
     def test_loss_decreases(self, rng):
         params = init_params(TINY, seed=0)
@@ -149,6 +199,37 @@ class TestTrainStep:
         update_bn_stats(params, col.stats)
         np.testing.assert_array_equal(
             np.asarray(params["backbone"]["stem"]["bn"]["mean"]), before)
+
+
+class TestPreciseBN:
+    def test_running_stats_become_averaged_batch_stats(self, rng):
+        from hockey_tpu.models.layers import StatsCollector
+        from hockey_tpu.models.yolov8 import forward_raw
+        from hockey_tpu.train.trainer import make_bn_stats_fn, precise_bn
+
+        params = init_params(TINY, seed=0)
+        batches = [synth_batch(np.random.default_rng(s))["images"]
+                   for s in (1, 2)]
+        stats_fn = make_bn_stats_fn(TINY, compute_dtype="float32")
+        out = precise_bn(params, stats_fn, batches)
+
+        # independently aggregate one layer's batch stats
+        per_batch = [jax.device_get(stats_fn(params, b)) for b in batches]
+        path = next(iter(per_batch[0]))
+        means = np.stack([p[path][0] for p in per_batch])
+        vars_ = np.stack([p[path][1] for p in per_batch])
+        mu = means.mean(0)
+        var = (vars_ + means**2).mean(0) - mu**2
+
+        from hockey_tpu.train.trainer import _resolve
+        node = _resolve(out, path.split("/"))
+        np.testing.assert_allclose(np.asarray(node["bn"]["mean"]), mu,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(node["bn"]["var"]), var,
+                                   rtol=1e-4, atol=1e-5)
+        # input tree untouched (functional)
+        orig = _resolve(params, path.split("/"))
+        assert not np.allclose(np.asarray(orig["bn"]["mean"]), mu)
 
 
 class TestShardedTraining:
