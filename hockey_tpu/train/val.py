@@ -16,6 +16,8 @@ def main(argv=None) -> int:
     p.add_argument("--images", type=str, default=None,
                    help="images/ dir (labels/ sibling); synthetic if omitted")
     p.add_argument("--model", type=str, default="hockey-player-detection")
+    p.add_argument("--variant", type=str, default=None,
+                   help="override variant (n/s/m/l/x), e.g. n for smoke tests")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--conf", type=float, default=0.001)
@@ -34,11 +36,52 @@ def main(argv=None) -> int:
 
     from ..core.config import Config
     from ..models.detector import Detector
+    from ..models.yolov8 import MODEL_ZOO
     from .data import SyntheticHockeyDataset, YoloDataset
     from .eval import evaluate_detector
 
     config = Config()
     config.detection_imgsz = args.imgsz
+
+    if args.variant:
+        # process-local zoo override so Detector resolves the right shape
+        from ..models.yolov8 import YoloConfig
+
+        base = MODEL_ZOO[args.model]
+        MODEL_ZOO[args.model] = YoloConfig(
+            args.variant, base.num_classes, base.num_keypoints)
+
+    if MODEL_ZOO[args.model].num_keypoints:
+        # pose model: PCK@0.05 + mean pixel error on held-out rink views
+        # (the pose analogue of `yolo mode=val`; SURVEY §4 metrics)
+        import numpy as np
+
+        from ..homography.keypoints import RinkKeypointDetector
+        from .data import SyntheticRinkDataset
+        from .eval import PoseEvalAccumulator
+
+        rkd = RinkKeypointDetector(
+            args.model, config, frame_hw=(args.imgsz, args.imgsz),
+            checkpoint=args.checkpoint)
+        ds = SyntheticRinkDataset(imgsz=args.imgsz, seed=args.seed)
+        acc = PoseEvalAccumulator()
+        B = 8
+        for k in range(0, args.limit, B):
+            items = [ds.load(i) for i in range(k, min(k + B, args.limit))]
+            frames = np.stack([(it["images"] * 255).astype(np.uint8)
+                               for it in items])
+            kpts = rkd.detect_keypoints_batch(frames)
+            for j, it in enumerate(items):
+                acc.add_image(kpts[j], it["keypoints"][0],
+                              (args.imgsz, args.imgsz))
+        m = acc.compute()
+        if args.json:
+            print(json.dumps(m))
+        else:
+            print(f"images: {args.limit}")
+            print(f"PCK@0.05:        {m['pck']:.4f}")
+            print(f"mean kpt error:  {m['mean_kpt_error_px']:.2f} px")
+        return 0
     det = Detector(
         args.model, config, frame_hw=(args.imgsz, args.imgsz),
         imgsz=args.imgsz, conf=args.conf, checkpoint=args.checkpoint,
