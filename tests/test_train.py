@@ -162,20 +162,51 @@ class TestTALStopGradient:
 
 
 class TestTrainStep:
-    def test_loss_decreases(self, rng):
+    def test_learns_to_detect_the_boxes(self, rng):
+        """Overfit one tiny batch and assert the model actually finds the
+        rectangles. NOTE: the raw TAL loss is NOT monotone from random
+        init — as predictions improve, IoU rises, so the soft targets
+        (align/max * max_iou) GROW and the loss can rise while the model
+        is learning. Detection quality is the real signal."""
+        from hockey_tpu.models.detector import build_detect_fn
+        from hockey_tpu.models.layers import fuse_for_inference
+        from hockey_tpu.train.trainer import make_bn_stats_fn, precise_bn
+
         params = init_params(TINY, seed=0)
-        tc = TrainConfig(imgsz=IMGSZ, total_steps=60, warmup_steps=5,
-                         learning_rate=0.005)
+        tc = TrainConfig(imgsz=IMGSZ, total_steps=120, warmup_steps=10,
+                         learning_rate=0.01, compute_dtype="float32")
         opt = make_optimizer(tc)
         opt_state = opt.init(params)
         step = jax.jit(make_train_step(TINY, tc, opt))
         batch = synth_batch(rng)  # overfit one batch
         losses = []
-        for i in range(25):
+        for i in range(120):
             params, opt_state, m = step(params, opt_state, batch)
             losses.append(float(m["loss"]))
         assert np.isfinite(losses).all()
-        assert losses[-1] < losses[0] * 0.8, f"no learning: {losses[0]:.3f}->{losses[-1]:.3f}"
+
+        params = precise_bn(params, make_bn_stats_fn(TINY, "float32"),
+                            [batch["images"]])
+        fn = build_detect_fn(TINY, imgsz=IMGSZ, frame_hw=(IMGSZ, IMGSZ),
+                             conf=0.05, max_det=8, pre_topk=32)
+        det = fn(fuse_for_inference(params),
+                 (np.asarray(batch["images"]) * 255).astype(np.uint8))
+        found = 0
+        for i in range(2):  # each image has two gt boxes
+            gt = np.asarray(batch["boxes"][i][np.asarray(batch["mask"][i])])
+            pb = np.asarray(det.boxes[i])[np.asarray(det.valid[i])]
+            if len(pb) == 0:
+                continue
+            x1 = np.maximum(pb[:, None, 0], gt[None, :, 0])
+            y1 = np.maximum(pb[:, None, 1], gt[None, :, 1])
+            x2 = np.minimum(pb[:, None, 2], gt[None, :, 2])
+            y2 = np.minimum(pb[:, None, 3], gt[None, :, 3])
+            inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+            pa = (pb[:, 2] - pb[:, 0]) * (pb[:, 3] - pb[:, 1])
+            ga = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
+            iou = inter / np.maximum(pa[:, None] + ga[None] - inter, 1e-9)
+            found += int((iou.max(axis=0) >= 0.25).sum())
+        assert found >= 2, f"only {found}/4 gt boxes found after overfit"
 
     def test_bn_stats_updated(self, rng):
         params = init_params(TINY, seed=0)
