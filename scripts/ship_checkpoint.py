@@ -18,6 +18,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> int:
+    # host-side file conversion: force the CPU backend so shipping never
+    # contends with a training run on the TPU tunnel (plain env vars are
+    # overridden by the axon sitecustomize; jax.config wins)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     src, model = sys.argv[1], sys.argv[2]
     from hockey_tpu.models.checkpoint import load_params, save_params
     from hockey_tpu.models.yolov8 import MODEL_ZOO
