@@ -102,7 +102,8 @@ MODEL_ZOO = {
 # Init
 # ---------------------------------------------------------------------------
 
-def init_params(cfg: YoloConfig, seed: int = 0) -> Dict:
+def init_params(cfg: YoloConfig, seed: int = 0,
+                box_prior: float = 0.0) -> Dict:
     kg = KeyGen(seed)
     c1, c2, c3, c4, c5 = cfg.channels
     n3, n6 = cfg.n_rep(3), cfg.n_rep(6)
@@ -149,8 +150,23 @@ def init_params(cfg: YoloConfig, seed: int = 0) -> Dict:
         cls_b = float(np.log(5.0 / cfg.num_classes / (640.0 / s) ** 2))
         head["cls"][i]["out"]["b"] = jnp.full(
             (cfg.num_classes,), cls_b, jnp.float32)
-        head["reg"][i]["out"]["b"] = jnp.ones(
-            (4 * cfg.reg_max,), jnp.float32)
+        if box_prior > 0:
+            # Tiny-object cold start (e.g. the ~10px puck): bias the DFL
+            # bins toward `box_prior` grid units per side so initial boxes
+            # are small and the first assigned IoUs are non-negligible.
+            # With the default uniform-softmax init the expected extent is
+            # reg_max/2 = 7.5 grid units per side (a ~120px box at stride
+            # 8); IoU with a 10px object is ~4e-3, the task-aligned
+            # targets stay ~0, and training cold-starts into "predict
+            # nothing" (measured). Ultralytics sidesteps this by
+            # fine-tuning from pretrained weights.
+            j = np.arange(cfg.reg_max, dtype=np.float32)
+            g = -0.5 * ((j - box_prior) / 0.75) ** 2
+            head["reg"][i]["out"]["b"] = jnp.asarray(
+                np.tile(g, 4), jnp.float32)
+        else:
+            head["reg"][i]["out"]["b"] = jnp.ones(
+                (4 * cfg.reg_max,), jnp.float32)
 
     if cfg.num_keypoints:
         nk = cfg.num_keypoints * 3

@@ -60,6 +60,11 @@ def main(argv=None) -> int:
                    help="EMA decay for eval/checkpoint weights (e.g. 0.999)")
     p.add_argument("--init", type=str, default=None,
                    help="initialize from an existing checkpoint")
+    p.add_argument("--box-prior", type=float, default=0.0,
+                   help="init the DFL reg-head bias toward this extent "
+                        "(grid units/side). Use ~1.0 for tiny-object "
+                        "models (puck) so cold-start IoUs are learnable; "
+                        "0 = standard init")
     p.add_argument("--precise-bn", type=int, default=8,
                    help="recalibrate BN running stats over N clean batches "
                         "before every val/checkpoint (0 = off). Running "
@@ -91,7 +96,7 @@ def main(argv=None) -> int:
         params = load_params(args.init)
         print(f"initialized from {args.init}")
     else:
-        params = init_params(cfg, seed=args.seed)
+        params = init_params(cfg, seed=args.seed, box_prior=args.box_prior)
     opt = make_optimizer(tc)
     opt_state = opt.init(params)
 
