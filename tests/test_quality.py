@@ -77,6 +77,32 @@ class TestShippedPlayerDetector:
         assert prec >= 0.6, f"precision {prec:.3f} on held-out hard scenes"
 
 
+class TestShippedRinkPoseModel:
+    def test_keypoints_on_held_out_views(self):
+        from hockey_tpu.core.config import Config
+        from hockey_tpu.homography.keypoints import RinkKeypointDetector
+        from hockey_tpu.models.checkpoint import shipped_weights_path
+        from hockey_tpu.train.data import SyntheticRinkDataset
+        from hockey_tpu.train.eval import PoseEvalAccumulator
+
+        if shipped_weights_path("hockey-detection") is None:
+            pytest.skip("no shipped rink checkpoint")
+        config = Config()
+        config.detection_imgsz = 512  # shipped training resolution
+        rkd = RinkKeypointDetector("hockey-detection", config,
+                                   frame_hw=(512, 512))
+        ds = SyntheticRinkDataset(imgsz=512, seed=4242)
+        acc = PoseEvalAccumulator()
+        items = [ds.load(i) for i in range(6)]
+        frames = np.stack([(it["images"] * 255).astype(np.uint8)
+                           for it in items])
+        kpts = rkd.detect_keypoints_batch(frames)
+        for j, it in enumerate(items):
+            acc.add_image(kpts[j], it["keypoints"][0], (512, 512))
+        m = acc.compute()
+        assert m["pck"] >= 0.8, f"PCK@0.05 {m['pck']:.3f} on held-out views"
+
+
 class TestShippedPuckDetector:
     def test_finds_pucks_on_held_out_scenes(self):
         from hockey_tpu.core.config import Config
