@@ -79,6 +79,7 @@ class RinkKeypointDetector:
         self.config = config or Config()
         self.detector = Detector(
             model_name, self.config, frame_hw=frame_hw, checkpoint=checkpoint,
+            imgsz=self.config.rink_imgsz,
         )
 
     def detect_keypoints(self, frame: np.ndarray,

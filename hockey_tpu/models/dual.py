@@ -16,7 +16,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
-from ..ops.letterbox import letterbox_rect_batch, rect_letterbox_params, rect_shape
+from ..ops.letterbox import (
+    letterbox_batch,
+    letterbox_params,
+    letterbox_rect_batch,
+    rect_shape,
+)
 from ..ops.nms import nms
 from .detector import _unmap_boxes
 from .layers import fuse_for_inference
@@ -40,10 +45,15 @@ def build_dual_fn(
     pre_topk: int = 256,
     max_det: int = 64,
     with_team_features: bool = True,
+    rink_imgsz: int = 512,
     dtype=jnp.bfloat16,
 ):
     """jit(player_params, rink_params, frames_u8) ->
-    (Detections, team_feats (B, max_det, 4), rink_kpts (B, 56, 3))."""
+    (Detections, team_feats (B, max_det, 4), rink_kpts (B, 56, 3)).
+
+    The rink branch letterboxes to its own `rink_imgsz` (the shipped pose
+    checkpoint's training resolution; keypoint accuracy does not survive
+    running it at the player model's 1280 — measured PCK 0.99 vs 0.08)."""
     h, w = frame_hw
     in_hw = rect_shape(h, w, imgsz)
     use_pallas = jax.default_backend() not in ("cpu",)
@@ -76,13 +86,16 @@ def build_dual_fn(
 
             team_feats = jax.vmap(feats_one)(frames, det.boxes)
 
-        # --- rink branch (best pose instance's keypoints)
-        rraw = forward_raw(rink_params, x, rink_cfg)
-        _, rscores = decode_boxes(rraw, rink_cfg, in_hw)
-        kpts = decode_keypoints(rraw, rink_cfg, in_hw)
+        # --- rink branch (best pose instance's keypoints), at its own
+        # training resolution
+        xr = letterbox_batch(frames, rink_imgsz, dtype=dtype)
+        rink_hw = (rink_imgsz, rink_imgsz)
+        rraw = forward_raw(rink_params, xr, rink_cfg)
+        _, rscores = decode_boxes(rraw, rink_cfg, rink_hw)
+        kpts = decode_keypoints(rraw, rink_cfg, rink_hw)
         best = jnp.argmax(jnp.max(rscores, axis=-1), axis=1)
         k = jnp.take_along_axis(kpts, best[:, None, None, None], axis=1)[:, 0]
-        r, _, _, pt, pl, _, _ = rect_letterbox_params(h, w, imgsz)
+        r, _, _, pt, pl = letterbox_params(h, w, rink_imgsz)
         xy = (k[..., :2] - jnp.asarray([pl, pt], jnp.float32)) / r
         k = jnp.concatenate([xy, k[..., 2:]], axis=-1)
         return det, team_feats, k
@@ -120,6 +133,7 @@ class DualDetector:
         self._fn = build_dual_fn(
             self.player_cfg, self.rink_cfg,
             imgsz=self.config.detection_imgsz, frame_hw=frame_hw,
+            rink_imgsz=self.config.rink_imgsz,
             conf=self.config.detection_confidence,
             iou=self.config.nms_iou_threshold,
             pre_topk=self.config.nms_pre_topk,

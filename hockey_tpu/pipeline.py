@@ -373,6 +373,11 @@ class VideoProcessor:
             self.initialize_team_classifier(source_path)
 
         b = self.config.resolved_frame_batch()
+        if self.use_dual:
+            # the dual (player@1280 + rink@512 + team features) program at
+            # batch 128 costs a ~20 min XLA compile; batch 32 compiles in
+            # minutes and the rink path is not the throughput-critical one
+            b = min(b, 32)
         if self.mode == ProcessingMode.PUCK_DETECTION or b == 1:
             for frame in frame_generator(source_path, start=start_frame):
                 yield self.process_frame(frame)
