@@ -61,6 +61,7 @@ class VideoProcessor:
         self.mode = ProcessingMode(mode)
         self.frame_hw = frame_hw
         self.timers = StageTimers()
+        self.last_frame_result = None  # set per frame in tracking modes
 
         # TEAM_CLASSIFICATION fuses per-detection team features into the
         # detection megastep: one device call per frame batch
@@ -338,6 +339,15 @@ class VideoProcessor:
                         frame, kpts, radius=self.config.keypoint_radius,
                         show_labels=True)
                     self.timers.count("keypoints", len(kpts))
+
+        # machine-readable per-frame result (boxes in frame px, tracker
+        # ids, team/goalie lookup) for quality harnesses and API callers —
+        # the annotated image is not the only output surface
+        self.last_frame_result = {
+            "boxes": np.asarray(boxes), "scores": np.asarray(scores),
+            "classes": np.asarray(classes), "tracker_ids": np.asarray(tids),
+            "team_ids": np.asarray(lookup),
+        }
 
         with self.timers.stage("annotate"):
             out = self.smooth_annotator.annotate(

@@ -168,25 +168,13 @@ def _team_colors(rng: np.random.Generator):
     return a, b
 
 
-def render_scene(rng: np.random.Generator, s: int = 640,
-                 pucks: bool = False) -> Tuple[np.ndarray, np.ndarray,
-                                               np.ndarray]:
-    """One scene. Returns (image uint8 BGR (s, s, 3), boxes xyxy, classes).
 
-    pucks=False: classes are {0: player, 1: goalie} (detector training).
-    pucks=True: classes are {0: puck}; players are unlabeled distractors
-    (the puck model is single-class, MODEL_ZOO['hockey-puck-detection'])."""
+def _scene_background(rng: np.random.Generator, s: int, rink,
+                      h: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Ice + crowd + boards + rink markings (everything that is static
+    over a short clip). Shared by render_scene (per-scene) and
+    render_scene_sequence (drawn once per clip)."""
     import cv2
-
-    from ..rinkmap.dimensions import NHL, default_keypoint_positions
-
-    rink = NHL
-    # puck scenes mimic SAHI tiles: tighter zoom so the puck spans several
-    # strides (sub-stride objects never bootstrap TAL's iou^6 alignment)
-    h, (wx0, wx1) = _homography(
-        rng, s, rink, span_range=(0.10, 0.38) if pucks else (0.3, 0.95))
-    table = default_keypoint_positions()
-    pts = _project(h, table)
 
     # --- ice: slightly blue-white vertical gradient + noise
     base = rng.uniform(215, 242)
@@ -237,6 +225,30 @@ def render_scene(rng: np.random.Generator, s: int = 640,
         r = int(np.linalg.norm(pts[r_id] - c))
         if 2 < r < s:
             cv2.circle(img, (int(c[0]), int(c[1])), r, red, thick)
+    return img
+
+
+def render_scene(rng: np.random.Generator, s: int = 640,
+                 pucks: bool = False) -> Tuple[np.ndarray, np.ndarray,
+                                               np.ndarray]:
+    """One scene. Returns (image uint8 BGR (s, s, 3), boxes xyxy, classes).
+
+    pucks=False: classes are {0: player, 1: goalie} (detector training).
+    pucks=True: classes are {0: puck}; players are unlabeled distractors
+    (the puck model is single-class, MODEL_ZOO['hockey-puck-detection'])."""
+    import cv2
+
+    from ..rinkmap.dimensions import NHL, default_keypoint_positions
+
+    rink = NHL
+    # puck scenes mimic SAHI tiles: tighter zoom so the puck spans several
+    # strides (sub-stride objects never bootstrap TAL's iou^6 alignment)
+    h, (wx0, wx1) = _homography(
+        rng, s, rink, span_range=(0.10, 0.38) if pucks else (0.3, 0.95))
+    table = default_keypoint_positions()
+    pts = _project(h, table)
+
+    img = _scene_background(rng, s, rink, h, pts)
 
     # --- players on the plane, back-to-front
     team_a, team_b = _team_colors(rng)
@@ -360,6 +372,118 @@ def render_scene(rng: np.random.Generator, s: int = 640,
 
     return (img, np.asarray(boxes, np.float32).reshape(-1, 4),
             np.asarray(classes, np.int32))
+
+
+def render_scene_sequence(rng: np.random.Generator, s: int = 640,
+                          n_frames: int = 96, fps: float = 30.0):
+    """Temporally-coherent broadcast-like clip for END-TO-END quality
+    measurement (tracking stability, team accuracy) — the per-frame
+    render_scene distribution, but with a fixed camera/teams and players
+    skating smoothly between frames.
+
+    Returns (frames, labels): frames = list of (s, s, 3) uint8 BGR;
+    labels[t] = dict(boxes (N,4) xyxy, classes (N,), track_ids (N,),
+    team_ids (N,)) with stable per-actor track_ids. team_ids: 0/1 = the
+    two teams, 2 = goalie."""
+    import cv2
+
+    from ..rinkmap.dimensions import NHL, default_keypoint_positions
+
+    rink = NHL
+    h, (wx0, wx1) = _homography(rng, s, rink, span_range=(0.45, 0.8))
+    pts = _project(h, default_keypoint_positions())
+    background = _scene_background(rng, s, rink, h, pts)
+
+    team_a, team_b = _team_colors(rng)
+    pants_a = tuple(int(v) for v in rng.uniform(10, 90, 3))
+    pants_b = tuple(int(v) for v in rng.uniform(10, 90, 3))
+    hscale = rng.uniform(0.9, 1.1)
+    L, W = rink.length, rink.width
+    lo, hi = max(wx0 - 5, 2), min(wx1 + 5, L - 2)
+
+    actors = []
+    n = int(rng.integers(6, 12))
+    for j in range(n):
+        actors.append({
+            "px": rng.uniform(lo, hi), "py": rng.uniform(3, W - 3),
+            "vx": rng.uniform(-6, 6), "vy": rng.uniform(-4, 4),
+            "kind": "player", "team": int(rng.uniform() < 0.5),
+            "number": int(rng.integers(1, 99)),
+            "hjit": rng.uniform(0.94, 1.06),
+        })
+    for gx in (11.0, L - 11.0):
+        if lo - 6 < gx < hi + 6:
+            actors.append({
+                "px": gx + rng.uniform(-1, 1),
+                "py": W / 2 + rng.uniform(-3, 3),
+                "vx": rng.uniform(-0.5, 0.5), "vy": rng.uniform(-1, 1),
+                "kind": "goalie", "team": 2, "number": None,
+                "hjit": rng.uniform(0.96, 1.04),
+            })
+    gain = rng.uniform(0.85, 1.1)
+    bias = rng.uniform(-10, 8)
+
+    frames, labels = [], []
+    for t in range(n_frames):
+        img = background.copy()
+        order = sorted(actors, key=lambda a: _project(
+            h, [[a["px"], a["py"]]])[0][1])  # far first
+        boxes, classes, tids, teams = [], [], [], []
+        for a in order:
+            foot = _project(h, [[a["px"], a["py"]]])[0]
+            hpx = _local_height(h, a["px"], a["py"]) * hscale * a["hjit"]
+            if hpx < 7 or hpx > 0.95 * s:
+                continue
+            if not (-0.3 * s < foot[0] < 1.3 * s and 0 < foot[1] < 1.25 * s):
+                continue
+            if a["kind"] == "goalie":
+                box = _draw_player(img, tuple(foot), hpx * 1.05, team_a,
+                                   (30, 30, 30), rng, is_goalie=True)
+                cls = 1
+            else:
+                jersey = team_a if a["team"] == 0 else team_b
+                pants = pants_a if a["team"] == 0 else pants_b
+                box = _draw_player(img, tuple(foot), hpx, jersey, pants,
+                                   rng, number=a["number"])
+                cls = 0
+            cb = [max(box[0], 0), max(box[1], 0),
+                  min(box[2], s), min(box[3], s)]
+            area = max(cb[2] - cb[0], 0) * max(cb[3] - cb[1], 0)
+            full = (box[2] - box[0]) * (box[3] - box[1])
+            if full <= 0 or area / full < 0.3 or area < 16:
+                continue
+            boxes.append(cb)
+            classes.append(cls)
+            tids.append(actors.index(a))
+            teams.append(a["team"])
+
+        img = np.clip(img.astype(np.float32) * gain + bias
+                      + rng.normal(0, 2.0, img.shape), 0, 255).astype(np.uint8)
+        frames.append(img)
+        labels.append({
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "classes": np.asarray(classes, np.int32),
+            "track_ids": np.asarray(tids, np.int32),
+            "team_ids": np.asarray(teams, np.int32),
+        })
+
+        for a in actors:  # smooth skating with gentle direction drift
+            a["px"] += a["vx"] / fps
+            a["py"] += a["vy"] / fps
+            a["vx"] += rng.normal(0, 0.25)
+            a["vy"] += rng.normal(0, 0.25)
+            sp = float(np.hypot(a["vx"], a["vy"]))
+            cap = 1.5 if a["kind"] == "goalie" else 8.0
+            if sp > cap:
+                a["vx"] *= cap / sp
+                a["vy"] *= cap / sp
+            if not (lo < a["px"] < hi):
+                a["vx"] *= -1
+                a["px"] = float(np.clip(a["px"], lo, hi))
+            if not (2 < a["py"] < W - 2):
+                a["vy"] *= -1
+                a["py"] = float(np.clip(a["py"], 2, W - 2))
+    return frames, labels
 
 
 class HardSyntheticHockeyDataset:

@@ -323,3 +323,38 @@ class TestDualMegastep:
         finally:
             MODEL_ZOO.clear()
             MODEL_ZOO.update(orig)
+
+
+class TestSceneSequence:
+    """Contract of train/scenes.py:render_scene_sequence — the source for
+    the end-to-end quality harness (scripts/e2e_quality.py)."""
+
+    def test_coherent_motion_and_stable_ids(self):
+        from hockey_tpu.train.scenes import render_scene_sequence
+
+        frames, labels = render_scene_sequence(
+            np.random.default_rng(3), 320, n_frames=12)
+        assert len(frames) == 12 and len(labels) == 12
+        assert frames[0].shape == (320, 320, 3)
+        assert frames[0].dtype == np.uint8
+        # per-actor boxes move smoothly: consecutive-frame displacement of
+        # the same track id stays under ~8 px at 320 (skaters at <=8 m/s)
+        for a, b in zip(labels, labels[1:]):
+            common = set(a["track_ids"]) & set(b["track_ids"])
+            for tid in common:
+                ba = a["boxes"][list(a["track_ids"]).index(tid)]
+                bb = b["boxes"][list(b["track_ids"]).index(tid)]
+                d = np.abs(ba - bb).max()
+                assert d < 20, f"track {tid} jumped {d:.1f}px in one frame"
+        # ids stay within the actor set, teams are 0/1/2
+        for lab in labels:
+            assert (lab["team_ids"] >= 0).all() and (lab["team_ids"] <= 2).all()
+            assert len(lab["boxes"]) == len(lab["track_ids"])
+
+    def test_deterministic(self):
+        from hockey_tpu.train.scenes import render_scene_sequence
+
+        f1, l1 = render_scene_sequence(np.random.default_rng(9), 320, 4)
+        f2, l2 = render_scene_sequence(np.random.default_rng(9), 320, 4)
+        assert np.array_equal(f1[3], f2[3])
+        assert np.array_equal(l1[3]["boxes"], l2[3]["boxes"])
