@@ -88,6 +88,24 @@ class EmaStabilizer:
         self.state.clear()
 
 
+def _row_percentiles(vals, valid, hl, qs):
+    """Per-row linear-interpolated percentiles over each row's valid tail
+    (np.percentile semantics), vectorized: invalid entries sort to the
+    end as +inf and indices 0..hl-1 are the valid sorted values.
+    np.nanpercentile does the same but at ~10x the cost for small rows."""
+    tmp = np.where(valid, vals.astype(np.float64), np.inf)
+    srt = np.sort(tmp, axis=1)
+    rows = np.arange(len(hl))
+    out = []
+    for q in qs:
+        pos = (q / 100.0) * (hl - 1)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.ceil(pos).astype(np.int64)
+        frac = pos - lo
+        out.append(srt[rows, lo] * (1 - frac) + srt[rows, hi] * frac)
+    return out
+
+
 class AdaptiveStabilizer:
     """Motion-aware position/size smoothing, vectorized.
 
@@ -172,42 +190,51 @@ class AdaptiveStabilizer:
         prev_size = self.smooth_size[s]
         vel = np.hypot(cx[old] - prev_pos[:, 0], cy[old] - prev_pos[:, 1])
 
-        # push histories (ring buffer per slot)
-        for j, si in enumerate(s):
-            self._push(si, w[old[j]], h[old[j]], ar[old[j]])
-            self.hist_len[si] = min(self.hist_len[si] + 1, self.WINDOW)
+        # push histories — one fancy-indexed shift for all slots (the
+        # former per-track np.roll/np.percentile loops cost ~2.2 ms/frame
+        # at 12 tracks and were the e2e pipeline's host bound)
+        self.size_hist[s] = np.concatenate(
+            [self.size_hist[s, 1:], np.stack([w[old], h[old]], 1)[:, None, :]],
+            axis=1)
+        self.ar_hist[s] = np.concatenate(
+            [self.ar_hist[s, 1:], ar[old][:, None]], axis=1)
+        self.hist_len[s] = np.minimum(self.hist_len[s] + 1, self.WINDOW)
 
         # position EMA
         ap = (self.pos_alpha * conf[old])[:, None]
         new_pos = ap * np.stack([cx[old], cy[old]], 1) + (1 - ap) * prev_pos
 
-        # size EMA, motion-aware + IQR damping
+        # size EMA, motion-aware + IQR damping (percentiles over each
+        # track's valid history window, NaN-masked + vectorized)
         motion = np.minimum(vel / self.motion_thr, 1.0)
         a_s = (self.size_base + motion * 0.2) * conf[old]
-        for j, si in enumerate(s):
-            hl = self.hist_len[si]
-            if hl >= 5:
-                sizes = self.size_hist[si, self.WINDOW - hl:]
-                w25, w75 = np.percentile(sizes[:, 0], [25, 75])
-                h25, h75 = np.percentile(sizes[:, 1], [25, 75])
-                if w25 <= w[old[j]] <= w75 and h25 <= h[old[j]] <= h75:
-                    a_s[j] *= 0.5
+        hl = self.hist_len[s]
+        idx = np.arange(self.WINDOW)[None, :]
+        valid = idx >= (self.WINDOW - hl[:, None])
+        eligible = hl >= 5
+        if eligible.any():
+            w25, w75 = _row_percentiles(
+                self.size_hist[s, :, 0], valid, hl, (25.0, 75.0))
+            h25, h75 = _row_percentiles(
+                self.size_hist[s, :, 1], valid, hl, (25.0, 75.0))
+            inside = ((w25 <= w[old]) & (w[old] <= w75)
+                      & (h25 <= h[old]) & (h[old] <= h75) & eligible)
+            a_s = np.where(inside, a_s * 0.5, a_s)
         new_size = a_s[:, None] * np.stack([w[old], h[old]], 1) + (1 - a_s[:, None]) * prev_size
 
         # aspect-ratio clamp (median over history, area preserved, 70/30 blend)
-        for j, si in enumerate(s):
-            hl = self.hist_len[si]
-            if hl < 5:
-                continue
-            med_ar = float(np.median(self.ar_hist[si, self.WINDOW - hl:]))
-            cw, ch = new_size[j]
-            cur_ar = cw / max(ch, 1.0)
-            if med_ar > 0 and abs(cur_ar - med_ar) / med_ar > self.ar_tol:
-                area = cw * ch
-                fh = np.sqrt(area / med_ar)
-                fw = med_ar * fh
-                new_size[j, 0] = 0.7 * fw + 0.3 * cw
-                new_size[j, 1] = 0.7 * fh + 0.3 * ch
+        if eligible.any():
+            (med_ar,) = _row_percentiles(self.ar_hist[s], valid, hl, (50.0,))
+            cw, ch = new_size[:, 0], new_size[:, 1]
+            cur_ar = cw / np.maximum(ch, 1.0)
+            safe = np.where(med_ar > 0, med_ar, 1.0)
+            bad = (eligible & (med_ar > 0)
+                   & (np.abs(cur_ar - med_ar) / safe > self.ar_tol))
+            area = cw * ch
+            fh = np.sqrt(area / safe)
+            fw = med_ar * fh
+            new_size[:, 0] = np.where(bad, 0.7 * fw + 0.3 * cw, cw)
+            new_size[:, 1] = np.where(bad, 0.7 * fh + 0.3 * ch, ch)
 
         self.smooth_pos[s] = new_pos
         self.smooth_size[s] = new_size
