@@ -35,12 +35,13 @@ WEIGHTS_PATH = os.path.join(os.path.dirname(os.path.dirname(
 def init_digit_params(seed: int = 0) -> Dict:
     kg = KeyGen(seed)
     return {
-        "c1": conv_init(kg, 1, 24, 3, bn=False, bias=True),
-        "c2": conv_init(kg, 24, 48, 3, bn=False, bias=True),
-        "c3": conv_init(kg, 48, 96, 3, bn=False, bias=True),
-        "c4": conv_init(kg, 96, 128, 3, bn=False, bias=True),
-        "tens": conv_init(kg, 128, 11, 1, bn=False, bias=True),
-        "ones": conv_init(kg, 128, 10, 1, bn=False, bias=True),
+        "c0": conv_init(kg, 1, 16, 3, bn=False, bias=True),
+        "c1": conv_init(kg, 16, 32, 3, bn=False, bias=True),
+        "c2": conv_init(kg, 32, 64, 3, bn=False, bias=True),
+        "c3": conv_init(kg, 64, 128, 3, bn=False, bias=True),
+        "c4": conv_init(kg, 128, 192, 3, bn=False, bias=True),
+        "tens": conv_init(kg, 192, 11, 1, bn=False, bias=True),
+        "ones": conv_init(kg, 192, 10, 1, bn=False, bias=True),
     }
 
 
@@ -48,7 +49,8 @@ def forward(params: Dict, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(N, 48, 48, 1) f32 -> (tens logits (N, 11), ones logits (N, 10))."""
     from ..models.layers import conv_apply
 
-    h = conv_apply(params["c1"], x, stride=2)        # 24
+    h = conv_apply(params["c0"], x)                  # 48, stride 1
+    h = conv_apply(params["c1"], h, stride=2)        # 24
     h = conv_apply(params["c2"], h, stride=2)        # 12
     h = conv_apply(params["c3"], h, stride=2)        # 6
     h = conv_apply(params["c4"], h, stride=2)        # 3
@@ -175,10 +177,33 @@ def make_batch(rng: np.random.Generator, batch: int
             np.asarray(os_, np.int32))
 
 
+def eval_exact_match(params: Dict, seed: int = 424242,
+                     n: int = 2000, batch: int = 250) -> float:
+    """Crop-level exact-match accuracy on a held-out seeded set (the seed
+    space is disjoint from any training seed in practice; the metric the
+    VERDICT's jersey-OCR bar is stated against)."""
+    rng = np.random.default_rng(seed)
+    correct = total = 0
+    for _ in range(n // batch):
+        x, t, o = make_batch(rng, batch)
+        tl, ol = _jit_forward(params, jnp.asarray(x))
+        tl, ol = np.asarray(tl), np.asarray(ol)
+        correct += int(((tl.argmax(-1) == t) & (ol.argmax(-1) == o)).sum())
+        total += batch
+    return correct / max(total, 1)
+
+
 def train(steps: int = 3000, batch: int = 128, lr: float = 1e-3,
           seed: int = 0, out: Optional[str] = None,
-          log_every: int = 200) -> Dict:
-    """Train the recognizer on synthetic crops; returns params."""
+          log_every: int = 200, eval_every: int = 0) -> Dict:
+    """Train the recognizer on synthetic crops; returns the params with
+    the best held-out exact-match (falls back to final when eval is off).
+
+    Batches are produced by a small thread pool overlapping cv2 rendering
+    with the train step (rendering dominates on CPU otherwise)."""
+    import queue
+    import threading
+
     import optax
 
     params = init_digit_params(seed)
@@ -199,22 +224,56 @@ def train(steps: int = 3000, batch: int = 128, lr: float = 1e-3,
         up, s = opt.update(g, s, p)
         return optax.apply_updates(p, up), s, loss, acc
 
-    rng = np.random.default_rng(seed)
-    for i in range(steps):
-        x, t, o = make_batch(rng, batch)
-        params, opt_state, loss, acc = step(params, opt_state,
-                                            jnp.asarray(x), jnp.asarray(t),
-                                            jnp.asarray(o))
-        if i % log_every == 0 or i == steps - 1:
-            print(f"digit step {i:5d} loss {float(loss):.4f} "
-                  f"acc {float(acc):.3f}", flush=True)
+    q: "queue.Queue" = queue.Queue(maxsize=8)
+    stop = threading.Event()
+
+    def producer(tid: int):
+        rng = np.random.default_rng(seed * 1000003 + tid)
+        while not stop.is_set():
+            item = make_batch(rng, batch)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=1.0)
+                    break
+                except queue.Full:
+                    pass
+
+    workers = [threading.Thread(target=producer, args=(k,), daemon=True)
+               for k in range(3)]
+    for w in workers:
+        w.start()
+
+    best_acc, best_params = -1.0, params
+    try:
+        for i in range(steps):
+            x, t, o = q.get()
+            params, opt_state, loss, acc = step(
+                params, opt_state, jnp.asarray(x), jnp.asarray(t),
+                jnp.asarray(o))
+            if i % log_every == 0 or i == steps - 1:
+                print(f"digit step {i:5d} loss {float(loss):.4f} "
+                      f"acc {float(acc):.3f}", flush=True)
+            if eval_every and (i + 1) % eval_every == 0:
+                em = eval_exact_match(params)
+                tag = ""
+                if em > best_acc:
+                    best_acc, best_params = em, jax.tree.map(
+                        np.asarray, params)
+                    tag = " (best)"
+                print(f"digit step {i:5d} EVAL exact-match {em:.4f}{tag}",
+                      flush=True)
+    finally:
+        stop.set()
+    if best_acc < 0:
+        best_params = params
     if out:
         from ..models.checkpoint import save_params
 
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        save_params(out, params)
-        print(f"saved {out}")
-    return params
+        save_params(out, best_params)
+        print(f"saved {out} (held-out exact-match "
+              f"{max(best_acc, 0):.4f})")
+    return best_params
 
 
 def load_default_params() -> Optional[Dict]:
@@ -230,6 +289,15 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--out", type=str, default=WEIGHTS_PATH)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (train alongside a TPU "
+                    "job; plain env vars are overridden by the axon "
+                    "sitecustomize, jax.config wins)")
     args = ap.parse_args()
-    train(steps=args.steps, out=args.out)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    train(steps=args.steps, batch=args.batch, out=args.out,
+          eval_every=args.eval_every)

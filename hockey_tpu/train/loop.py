@@ -217,6 +217,9 @@ def main(argv=None) -> int:
 
             print(f"staging pose pool ({args.pool} scenes) in device "
                   "memory...")
+            if args.mosaic or args.mixup:
+                print("note: --mosaic/--mixup are unsupported for pose "
+                      "pools; training without them")
             pool = stage_pose_pool(dataset, args.pool)
             batch_fn = make_pose_batch_fn(args.batch)
         else:

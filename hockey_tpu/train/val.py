@@ -24,10 +24,14 @@ def main(argv=None) -> int:
     p.add_argument("--limit", type=int, default=200,
                    help="max images to evaluate")
     p.add_argument("--dataset", type=str, default="synthetic",
-                   choices=["synthetic", "hard", "hard-puck"],
+                   choices=["synthetic", "hard", "hard-puck",
+                            "hard-b", "hard-puck-b", "rink-b"],
                    help="synthetic source when --images is absent; 'hard' "
                         "evaluates on held-out broadcast-like scenes "
-                        "(train/scenes.py, the training loop's val split)")
+                        "(train/scenes.py, the training loop's val split); "
+                        "the '-b' variants evaluate OUT-OF-DISTRIBUTION on "
+                        "generator B (train/scenes_b.py, an independent "
+                        "renderer sharing nothing with the training one)")
     p.add_argument("--seed", type=int, default=7777,
                    help="scene seed for --dataset hard (7777 = the "
                         "training loop's held-out split for --seed 0)")
@@ -60,10 +64,21 @@ def main(argv=None) -> int:
         from .data import SyntheticRinkDataset
         from .eval import PoseEvalAccumulator
 
+        # shipped-default validation runs the net at its training
+        # resolution (config.rink_imgsz = 512); an explicit --checkpoint
+        # is validated at the requested --imgsz so checkpoints trained at
+        # other resolutions aren't silently evaluated at 512
+        if args.checkpoint:
+            config.rink_imgsz = args.imgsz
         rkd = RinkKeypointDetector(
             args.model, config, frame_hw=(args.imgsz, args.imgsz),
             checkpoint=args.checkpoint)
-        ds = SyntheticRinkDataset(imgsz=args.imgsz, seed=args.seed)
+        if args.dataset == "rink-b":
+            from .scenes_b import SyntheticRinkDatasetB
+
+            ds = SyntheticRinkDatasetB(imgsz=args.imgsz, seed=args.seed)
+        else:
+            ds = SyntheticRinkDataset(imgsz=args.imgsz, seed=args.seed)
         acc = PoseEvalAccumulator()
         B = 8
         for k in range(0, args.limit, B):
@@ -96,6 +111,14 @@ def main(argv=None) -> int:
         ds = HardSyntheticHockeyDataset(
             imgsz=args.imgsz, seed=args.seed, pool_size=args.limit,
             pucks=args.dataset == "hard-puck")
+        ds.pregenerate()
+        n = args.limit
+    elif args.dataset in ("hard-b", "hard-puck-b"):
+        from .scenes_b import HardSyntheticHockeyDatasetB
+
+        ds = HardSyntheticHockeyDatasetB(
+            imgsz=args.imgsz, seed=args.seed, pool_size=args.limit,
+            pucks=args.dataset == "hard-puck-b")
         ds.pregenerate()
         n = args.limit
     else:

@@ -337,8 +337,9 @@ class TestSceneSequence:
         assert len(frames) == 12 and len(labels) == 12
         assert frames[0].shape == (320, 320, 3)
         assert frames[0].dtype == np.uint8
-        # per-actor boxes move smoothly: consecutive-frame displacement of
-        # the same track id stays under ~8 px at 320 (skaters at <=8 m/s)
+        # per-actor boxes move smoothly: skating displacement is ~8 px at
+        # 320, but sprite jitter (lean/arm resampling) can add more — the
+        # enforced bound is 20 px per consecutive frame
         for a, b in zip(labels, labels[1:]):
             common = set(a["track_ids"]) & set(b["track_ids"])
             for tid in common:

@@ -1,0 +1,136 @@
+"""Generator B (independent eval renderer) + corruption suite."""
+
+import numpy as np
+import pytest
+
+
+class TestGeneratorB:
+    def test_scene_shapes_and_labels(self):
+        from hockey_tpu.train.scenes_b import render_scene_b
+
+        rng = np.random.default_rng(3)
+        img, boxes, classes = render_scene_b(rng, 320)
+        assert img.shape == (320, 320, 3) and img.dtype == np.uint8
+        assert boxes.shape[1] == 4 and len(boxes) == len(classes)
+        assert set(np.unique(classes)).issubset({0, 1})
+        # boxes are valid and inside the frame
+        assert (boxes[:, 2] > boxes[:, 0]).all()
+        assert (boxes[:, 3] > boxes[:, 1]).all()
+        assert (boxes >= 0).all() and (boxes <= 320).all()
+
+    def test_scenes_are_populated(self):
+        """Most seeds produce a playable scene (several labeled actors)."""
+        from hockey_tpu.train.scenes_b import render_scene_b
+
+        counts = [len(render_scene_b(np.random.default_rng(k), 320)[1])
+                  for k in range(8)]
+        assert np.median(counts) >= 3, counts
+
+    def test_deterministic(self):
+        from hockey_tpu.train.scenes_b import render_scene_b
+
+        a = render_scene_b(np.random.default_rng(11), 256)
+        b = render_scene_b(np.random.default_rng(11), 256)
+        assert np.array_equal(a[0], b[0])
+        assert np.array_equal(a[1], b[1])
+
+    def test_puck_mode(self):
+        from hockey_tpu.train.scenes_b import render_scene_b
+
+        found = 0
+        for k in range(6):
+            img, boxes, classes = render_scene_b(
+                np.random.default_rng(100 + k), 320, pucks=True)
+            assert (classes == 0).all()
+            if len(boxes):
+                found += 1
+                wh = boxes[:, 2:] - boxes[:, :2]
+                assert (wh < 40).all(), "pucks should be small objects"
+        assert found >= 3
+
+    def test_camera_homography_consistency(self):
+        """The pinhole camera's plane homography and 3D projection agree
+        on z=0 points."""
+        from hockey_tpu.rinkmap.dimensions import NHL
+        from hockey_tpu.train.scenes_b import _Camera
+
+        cam = _Camera(np.random.default_rng(5), 320, NHL)
+        pts = np.asarray([[50.0, 30.0], [120.0, 70.0], [10.0, 5.0]])
+        via_h = cam.project_plane(pts)
+        via_3d = cam.project_3d(
+            np.concatenate([pts, np.zeros((3, 1))], axis=1))
+        np.testing.assert_allclose(via_h, via_3d, atol=1e-6)
+        # unproject inverts project on the plane
+        back = cam.unproject(via_h)
+        np.testing.assert_allclose(back, pts, atol=1e-6)
+
+    def test_dataset_interface(self):
+        from hockey_tpu.train.scenes_b import HardSyntheticHockeyDatasetB
+
+        ds = HardSyntheticHockeyDatasetB(imgsz=256, pool_size=3)
+        item = ds.load(1)
+        assert item["images"].shape == (256, 256, 3)
+        assert item["images"].dtype == np.float32
+        assert item["boxes"].shape == (64, 4)
+        assert item["mask"].dtype == bool
+        assert item["mask"].sum() == np.count_nonzero(
+            item["boxes"].sum(axis=1))
+
+    def test_rink_dataset_b(self):
+        from hockey_tpu.train.scenes_b import SyntheticRinkDatasetB
+
+        ds = SyntheticRinkDatasetB(imgsz=256)
+        item = ds.load(0)
+        assert item["keypoints"].shape == (4, 56, 3)
+        vis = item["keypoints"][0, :, 2] > 0
+        assert vis.sum() >= 40  # fit-rink camera sees most of the sheet
+        pts = item["keypoints"][0, vis, :2]
+        assert (pts >= 0).all() and (pts < 256).all()
+
+    def test_independent_from_generator_a(self):
+        """Generator B must not call into generator A's renderer."""
+        import ast
+        import inspect
+
+        import hockey_tpu.train.scenes_b as sb
+
+        src = inspect.getsource(sb)
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.Import, ast.ImportFrom)):
+                names = [a.name for a in node.names]
+                mod = getattr(node, "module", "") or ""
+                assert "scenes" not in mod.split(".") and \
+                    not any(n.endswith("scenes") for n in names), \
+                    "generator B imports generator A"
+
+
+class TestCorruptions:
+    @pytest.mark.parametrize("name", ["motion_blur", "jpeg", "contrast",
+                                      "gamma", "gaussian_noise", "pixelate"])
+    def test_shape_dtype_and_monotone_distortion(self, name):
+        from hockey_tpu.train.corruptions import CORRUPTIONS
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(30, 220, (96, 128, 3), dtype=np.uint8)
+        fn = CORRUPTIONS[name]
+        prev = 0.0
+        for sev in (1, 3, 5):
+            out = fn(img, sev)
+            assert out.shape == img.shape and out.dtype == np.uint8
+            dist = float(np.abs(out.astype(int) - img.astype(int)).mean())
+            assert dist >= prev * 0.8, f"{name} s{sev} not harsher"
+            prev = max(prev, dist)
+        assert prev > 0.5, f"{name} s5 barely changes the image"
+
+    def test_corrupted_dataset_passthrough(self):
+        from hockey_tpu.train.corruptions import CorruptedDataset
+        from hockey_tpu.train.scenes_b import HardSyntheticHockeyDatasetB
+
+        base = HardSyntheticHockeyDatasetB(imgsz=256, pool_size=2)
+        cd = CorruptedDataset(base, "jpeg", 3)
+        a, b = base.load(0), cd.load(0)
+        assert not np.array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["boxes"], b["boxes"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+        assert len(cd) == 2
