@@ -48,9 +48,28 @@ def bench_detect() -> float:
 
     config = Config()
     cfg = MODEL_ZOO["hockey-player-detection"]
-    params = fuse_for_inference(init_params(cfg, seed=0))
+    # the SHIPPED trained checkpoint (identical FLOPs to random init, but
+    # NMS occupancy and the team-feature tail depend on real content +
+    # real weights; round-2 review asked for the shipped pipeline's rate)
+    try:
+        from hockey_tpu.models.checkpoint import (
+            load_params,
+            shipped_weights_path,
+        )
+
+        params = fuse_for_inference(
+            load_params(shipped_weights_path("hockey-player-detection")))
+    except Exception:
+        params = fuse_for_inference(init_params(cfg, seed=0))
 
     rng = np.random.default_rng(0)
+    # real broadcast-like content (not noise): NMS occupancy and decode
+    # tails depend on what is actually detected
+    from hockey_tpu.train.scenes import render_scene_sequence
+
+    hard, _ = render_scene_sequence(np.random.default_rng(42), 1080, 32,
+                                    width=1920)
+    hard = np.stack(hard)
     best_fps = 0.0
     # batch 128 is the measured sweet spot on v5e (226 fps, ~70% MFU of
     # XLA's own flop estimate); 160/192 tile worse and regress
@@ -65,8 +84,7 @@ def bench_detect() -> float:
             max_det=config.max_detections,
         )
         frames = jnp.asarray(
-            rng.integers(0, 255, (batch, 1080, 1920, 3), dtype=np.uint8)
-        )
+            np.tile(hard, (max(batch // 32, 1), 1, 1, 1))[:batch])
         # warmup incl. compile; np.asarray forces real completion (the axon
         # platform's block_until_ready returns early, and queuing multiple
         # in-flight executions deadlocks the tunnel — so sync per call)
@@ -85,20 +103,19 @@ def bench_detect() -> float:
 
 
 def _make_clip(path: str, n_frames: int) -> None:
+    """True-1080p HARD benchmark clip: the coherent broadcast-like scene
+    renderer (train/scenes.py — ~10-14 actors, perspective camera, crowd
+    and boards clutter, occlusions) instead of the round-1/2 flat-ice
+    rectangles, so host-stage cost reflects realistic track counts."""
     import cv2
 
+    from hockey_tpu.train.scenes import render_scene_sequence
+
+    rng = np.random.default_rng(42)
+    frames, _ = render_scene_sequence(rng, 1080, n_frames, width=1920)
     w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
                         (1920, 1080))
-    for i in range(n_frames):
-        f = np.full((1080, 1920, 3), 205, np.uint8)
-        cv2.rectangle(f, (0, 300), (1920, 1080), (215, 215, 210), -1)
-        for j in range(10):
-            x = (150 + 170 * j + 3 * i) % 1800
-            y = 380 + 55 * (j % 4)
-            color = (40, 40, 200) if j % 2 else (200, 150, 40)
-            cv2.rectangle(f, (x, y), (x + 55, y + 130), color, -1)
-            cv2.rectangle(f, (x + 10, y + 130), (x + 45, y + 165),
-                          (30, 30, 30), -1)
+    for f in frames:
         w.write(f)
     w.release()
 
@@ -173,6 +190,34 @@ def bench_pipeline(tmpdir: str) -> dict:
     return out
 
 
+def bench_puck() -> float:
+    """PUCK_DETECTION cross-frame tiled megastep: K 1080p frames x T
+    overlapping 640-tiles through one forward + one merge program
+    (slicing/sahi.py detect_frames); frames staged in HBM once (the dev
+    tunnel's ~35 MB/s host link is environmental, see STATUS roofline)."""
+    import jax.numpy as jnp
+
+    from hockey_tpu.core.config import Config
+    from hockey_tpu.slicing.sahi import PuckPipeline
+    from hockey_tpu.train.scenes import render_scene_sequence
+
+    k = 16
+    pipe = PuckPipeline(Config(), frame_hw=(1080, 1920))
+    rng = np.random.default_rng(7)
+    frames, _ = render_scene_sequence(rng, 1080, k, width=1920,
+                                      span_range=(0.25, 0.45),
+                                      include_puck=True)
+    dev = jnp.asarray(np.stack(frames))
+    _ = np.asarray(dev[0, 0, 0, 0])
+    for _ in range(2):  # compile + warm
+        pipe.sliced.detect_frames(dev)
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        pipe.sliced.detect_frames(dev)
+    return reps * k / (time.perf_counter() - t0)
+
+
 def main() -> None:
     detect_fps = bench_detect()
 
@@ -183,6 +228,10 @@ def main() -> None:
             e2e = bench_pipeline(td)
         except Exception as e:  # never lose the primary metric
             e2e = {"fps": 0.0, "error": f"{type(e).__name__}: {e}"}
+    try:
+        puck_fps = bench_puck()
+    except Exception:
+        puck_fps = 0.0
 
     print(json.dumps({
         "metric": "e2e_1080p_detect_fps_per_chip",
@@ -191,6 +240,7 @@ def main() -> None:
         "vs_baseline": round(detect_fps / BASELINE_FPS, 2),
         "e2e_pipeline_fps": round(e2e.get("fps", 0.0), 2),
         "e2e_compute_fps": round(e2e.get("compute_fps", 0.0), 2),
+        "puck_fps": round(puck_fps, 2),
         "e2e_detail": {k: v for k, v in e2e.items()
                        if k not in ("fps", "compute_fps")},
     }))

@@ -49,7 +49,8 @@ def forward(params: Dict, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(N, 48, 48, 1) f32 -> (tens logits (N, 11), ones logits (N, 10))."""
     from ..models.layers import conv_apply
 
-    h = conv_apply(params["c0"], x)                  # 48, stride 1
+    # stride-1 stem (round-3 widening); absent in older checkpoints
+    h = conv_apply(params["c0"], x) if "c0" in params else x  # 48
     h = conv_apply(params["c1"], h, stride=2)        # 24
     h = conv_apply(params["c2"], h, stride=2)        # 12
     h = conv_apply(params["c3"], h, stride=2)        # 6

@@ -29,6 +29,11 @@ class JerseyNumberReader:
         self.min_crop_height = min_crop_height
         self.numbers: Dict[int, str] = {}
         self.confidences: Dict[int, float] = defaultdict(float)
+        # confidence-weighted vote tally per track: single reads can lock
+        # in a wrong high-confidence glimpse; the persisted number is the
+        # argmax of accumulated vote mass across the track's lifetime
+        self.votes: Dict[int, Dict[str, float]] = defaultdict(
+            lambda: defaultdict(float))
         self._since_read: Dict[int, int] = defaultdict(lambda: 10 ** 9)
         self._reader = None
         self.backend = None
@@ -91,20 +96,22 @@ class JerseyNumberReader:
             for _, text, conf in results:
                 text = text.strip()
                 if (text.isdigit() and 1 <= len(text) <= 2
-                        and conf >= self.min_confidence
-                        and conf > self.confidences[tid]):
-                    self.numbers[tid] = text
-                    self.confidences[tid] = float(conf)
+                        and conf >= self.min_confidence):
+                    self._vote(tid, text, float(conf))
         if due_crops:
             from . import digits
 
             texts, confs = digits.predict(self._digit_params,
                                           np.stack(due_crops))
             for tid, text, conf in zip(due_tids, texts, confs):
-                if (text is not None and conf >= self.min_confidence
-                        and conf > self.confidences[tid]):
-                    self.numbers[tid] = text
-                    self.confidences[tid] = float(conf)
+                if text is not None and conf >= self.min_confidence:
+                    self._vote(tid, text, float(conf))
+
+    def _vote(self, tid: int, text: str, conf: float) -> None:
+        tally = self.votes[tid]
+        tally[text] += conf
+        self.numbers[tid] = max(tally, key=tally.get)
+        self.confidences[tid] = max(self.confidences[tid], conf)
 
     def get_number(self, tracker_id: int) -> Optional[str]:
         return self.numbers.get(int(tracker_id))
@@ -112,3 +119,4 @@ class JerseyNumberReader:
     def drop(self, tracker_id: int) -> None:
         self.numbers.pop(int(tracker_id), None)
         self.confidences.pop(int(tracker_id), None)
+        self.votes.pop(int(tracker_id), None)

@@ -388,6 +388,19 @@ class VideoProcessor:
             # batch 128 costs a ~20 min XLA compile; batch 32 compiles in
             # minutes and the rink path is not the throughput-critical one
             b = min(b, 32)
+        if self.mode == ProcessingMode.PUCK_DETECTION and b > 1:
+            # cross-frame tiled megastep: K frames x T tiles through one
+            # forward + one merge program per batch (slicing/sahi.py)
+            from .video.io import prefetched
+
+            pb = min(b, 16)
+            for frames, n in prefetched(batched_frame_generator(
+                    source_path, pb, start=start_frame)):
+                with self.timers.stage("detect"):
+                    outs = self.puck_pipeline.process_batch(frames, n)
+                for o in outs:
+                    yield o
+            return
         if self.mode == ProcessingMode.PUCK_DETECTION or b == 1:
             for frame in frame_generator(source_path, start=start_frame):
                 yield self.process_frame(frame)

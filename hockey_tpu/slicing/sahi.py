@@ -49,7 +49,9 @@ class SlicedDetector:
                  checkpoint: Optional[str] = None, seed: int = 0):
         self.config = config
         self.h, self.w = frame_hw
-        self.size = config.puck_slice_size
+        # frames smaller than the configured tile: shrink the tile to fit
+        # (dynamic_slice would otherwise read out of bounds)
+        self.size = min(config.puck_slice_size, self.h, self.w)
         self.grid = slice_grid(self.h, self.w, self.size, config.puck_slice_overlap)
         self.detector = Detector(
             config.puck_model_name, config,
@@ -60,6 +62,7 @@ class SlicedDetector:
         offs = np.asarray([(x, y, x, y) for (y, x) in self.grid], np.float32)
         self._offsets = jnp.asarray(offs)  # (T, 4) xyxy offsets
         self._slice_fn = self._build_slice_fn()
+        self._merge_fn = self._build_merge_fn()
 
     def _build_slice_fn(self):
         grid = jnp.asarray([(y, x) for (y, x) in self.grid], jnp.int32)
@@ -73,6 +76,44 @@ class SlicedDetector:
             return jax.vmap(one)(grid)
 
         return slice_frame
+
+    def _build_merge_fn(self):
+        """Jitted cross-tile merge for a batch of frames: tile->frame
+        coordinate shift + per-frame class-agnostic NMS, all on device."""
+        T = len(self.grid)
+        offs = self._offsets
+        conf = self.config.puck_confidence
+
+        @jax.jit
+        def merge(boxes, scores, classes, valid):
+            k = boxes.shape[0] // T
+            d = boxes.shape[1]
+            b = (boxes.reshape(k, T, d, 4)
+                 + offs[None, :, None, :]).reshape(k, T * d, 4)
+            sc = jnp.where(valid, scores, -1.0).reshape(k, T * d)
+            cl = classes.reshape(k, T * d)
+            from ..ops.nms import nms_batch
+
+            return nms_batch(b, sc, cl, score_threshold=conf,
+                             iou_threshold=0.5,
+                             pre_topk=min(64, T * d), max_det=4)
+
+        return merge
+
+    def detect_frames(self, frames: np.ndarray):
+        """(K, H, W, 3) -> per-frame (boxes (K, 4, 4), scores (K, 4),
+        valid (K, 4)) after cross-tile NMS. TWO device programs for the
+        WHOLE frame batch (K x T tiles through one forward + one fused
+        merge), the temporal analogue of the player path's frame batching
+        (pipeline.py batched megastep)."""
+        k = frames.shape[0]
+        tiles = jax.vmap(self._slice_fn)(jnp.asarray(frames))
+        det = self.detector.detect_batch(
+            tiles.reshape(k * len(self.grid), self.size, self.size, 3))
+        merged = self._merge_fn(det.boxes, det.scores, det.classes,
+                                det.valid)
+        return (np.asarray(merged.boxes), np.asarray(merged.scores),
+                np.asarray(merged.valid))
 
     def detect(self, frame: np.ndarray):
         """(H, W, 3) -> (boxes (n,4), scores (n,)) in frame coords after
@@ -150,14 +191,34 @@ class PuckPipeline:
         self.config = config
         self.sliced = SlicedDetector(config, frame_hw, checkpoint=checkpoint)
         self.tracker = PuckTracker(trail_length=config.puck_trail_length)
+        self.last_center = None      # smoothed tracker position
+        self.last_detection = None   # this frame's raw best detection
 
     def process_frame(self, frame: np.ndarray) -> np.ndarray:
         boxes, scores = self.sliced.detect(frame)
+        return self._annotate(frame, boxes, scores)
+
+    def process_batch(self, frames: np.ndarray, n: Optional[int] = None
+                      ) -> List[np.ndarray]:
+        """(K, H, W, 3) frames through the cross-frame tiled megastep
+        (slicing + forward + merge batched over K x T tiles), then the
+        sequential host stages (tracker update, trail drawing) per frame.
+        `n` limits output to the first n frames (tail batch padding)."""
+        boxes, scores, valid = self.sliced.detect_frames(frames)
+        out = []
+        for i in range(len(frames) if n is None else n):
+            v = valid[i]
+            out.append(self._annotate(frames[i], boxes[i][v], scores[i][v]))
+        return out
+
+    def _annotate(self, frame: np.ndarray, boxes: np.ndarray,
+                  scores: np.ndarray) -> np.ndarray:
         center = None
         if len(boxes):
             b = boxes[int(np.argmax(scores))]
             center = ((b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0)
-        self.tracker.update(center)
+        self.last_center = self.tracker.update(center)
+        self.last_detection = center
         out = frame.copy()
         if len(boxes):
             b = boxes[int(np.argmax(scores))].astype(int)

@@ -33,10 +33,15 @@ PLAYER_H_FT = 6.0  # skater height incl. skates/helmet
 
 
 def _homography(rng: np.random.Generator, s: int, rink,
-                span_range=(0.3, 0.95)) -> np.ndarray:
-    """Random broadcast camera: a window of the rink -> image trapezoid."""
+                span_range=(0.3, 0.95), width: Optional[int] = None
+                ) -> np.ndarray:
+    """Random broadcast camera: a window of the rink -> image trapezoid.
+    `width` enables rectangular frames (default square; the rng draw
+    sequence is identical when width == s, so square outputs are
+    bit-stable across this change)."""
     from ..homography.ransac import dlt_homography
 
+    w = s if width is None else width
     L, W = rink.length, rink.width
     # visible window along the length; zoom varies (full-ice .. tight)
     span = rng.uniform(*span_range) * L
@@ -45,12 +50,12 @@ def _homography(rng: np.random.Generator, s: int, rink,
     # far side appears higher and narrower (camera above one side)
     top_y = rng.uniform(0.02, 0.22) * s
     bot_y = rng.uniform(0.85, 1.25) * s
-    top_inset = rng.uniform(0.04, 0.22) * s
-    bot_outset = rng.uniform(0.0, 0.25) * s
+    top_inset = rng.uniform(0.04, 0.22) * w
+    bot_outset = rng.uniform(0.0, 0.25) * w
     src = np.asarray([[x0, 0], [x1, 0], [x0, W], [x1, W]], np.float64)
     dst = np.asarray([
-        [top_inset, top_y], [s - top_inset, top_y],
-        [-bot_outset, bot_y], [s + bot_outset, bot_y],
+        [top_inset, top_y], [w - top_inset, top_y],
+        [-bot_outset, bot_y], [w + bot_outset, bot_y],
     ], np.float64)
     return dlt_homography(src, dst), (x0, x1)
 
@@ -170,16 +175,21 @@ def _team_colors(rng: np.random.Generator):
 
 
 def _scene_background(rng: np.random.Generator, s: int, rink,
-                      h: np.ndarray, pts: np.ndarray) -> np.ndarray:
+                      h: np.ndarray, pts: np.ndarray,
+                      width: Optional[int] = None) -> np.ndarray:
     """Ice + crowd + boards + rink markings (everything that is static
     over a short clip). Shared by render_scene (per-scene) and
-    render_scene_sequence (drawn once per clip)."""
+    render_scene_sequence (drawn once per clip). `width` enables
+    rectangular frames (identical rng sequence when width == s)."""
     import cv2
 
-    # --- ice: slightly blue-white vertical gradient + noise
+    w = s if width is None else width
+    # --- ice: slightly blue-white gradient + noise (the (1, w, 1)
+    # broadcast reproduces the original square layout bit-for-bit)
     base = rng.uniform(215, 242)
-    grad = np.linspace(rng.uniform(-12, 0), rng.uniform(0, 10), s)[:, None]
-    img = np.clip(base + grad + rng.normal(0, 3, (s, s, 1)), 0,
+    grad = np.linspace(rng.uniform(-12, 0), rng.uniform(0, 10), w)[None, :,
+                                                                   None]
+    img = np.clip(base + grad + rng.normal(0, 3, (s, w, 1)), 0,
                   255).astype(np.uint8)
     img = np.repeat(img, 3, axis=2)
     img[..., 0] = np.clip(img[..., 0].astype(int) + int(rng.uniform(0, 10)),
@@ -192,20 +202,20 @@ def _scene_background(rng: np.random.Generator, s: int, rink,
     board_h = max(int(s * rng.uniform(0.04, 0.09)), 4)
     crowd_top = max(board_y - board_h, 0)
     if crowd_top > 2:
-        coarse = rng.integers(15, 130, (max(crowd_top // 6, 1), s // 6, 3),
+        coarse = rng.integers(15, 130, (max(crowd_top // 6, 1), w // 6, 3),
                               dtype=np.uint8)
-        img[:crowd_top] = cv2.resize(coarse, (s, crowd_top),
+        img[:crowd_top] = cv2.resize(coarse, (w, crowd_top),
                                      interpolation=cv2.INTER_NEAREST)
     # boards band: pale with colored ad rectangles
     img[crowd_top:board_y] = (230, 228, 224)
     x = 0
-    while x < s:
-        wseg = int(rng.uniform(0.08, 0.25) * s)
+    while x < w:
+        wseg = int(rng.uniform(0.08, 0.25) * w)
         if rng.uniform() < 0.55:
             cv2.rectangle(img, (x, crowd_top), (x + wseg, board_y),
                           tuple(int(v) for v in rng.uniform(30, 220, 3)), -1)
         x += wseg
-    cv2.line(img, (0, board_y), (s, board_y), (180, 60, 40), 2)  # kickplate
+    cv2.line(img, (0, board_y), (w, board_y), (180, 60, 40), 2)  # kickplate
 
     # --- rink markings through known keypoint ids (dimensions.py layout)
     blue, red = (170, 90, 30), (60, 50, 190)
@@ -375,7 +385,10 @@ def render_scene(rng: np.random.Generator, s: int = 640,
 
 
 def render_scene_sequence(rng: np.random.Generator, s: int = 640,
-                          n_frames: int = 96, fps: float = 30.0):
+                          n_frames: int = 96, fps: float = 30.0,
+                          span_range=(0.45, 0.8),
+                          include_puck: bool = False,
+                          width: Optional[int] = None):
     """Temporally-coherent broadcast-like clip for END-TO-END quality
     measurement (tracking stability, team accuracy) — the per-frame
     render_scene distribution, but with a fixed camera/teams and players
@@ -383,16 +396,30 @@ def render_scene_sequence(rng: np.random.Generator, s: int = 640,
 
     Returns (frames, labels): frames = list of (s, s, 3) uint8 BGR;
     labels[t] = dict(boxes (N,4) xyxy, classes (N,), track_ids (N,),
-    team_ids (N,)) with stable per-actor track_ids. team_ids: 0/1 = the
-    two teams, 2 = goalie."""
+    team_ids (N,), rink_xy (N,2) gt rink positions (ft), camera_h (3,3)
+    the true rink->image homography) with stable per-actor track_ids.
+    team_ids: 0/1 = the two teams, 2 = goalie.
+
+    include_puck=True adds a puck skating between players (fast pass
+    segments, board bounces), drawn at its depth position so nearer
+    players naturally occlude it; labels gain puck_xy (2,) image px,
+    puck_rink (2,) ft, and puck_visible (whether the drawn puck
+    survived later overdraw — measured by pixel comparison, not
+    geometry).
+
+    width=1920 with s=1080 renders true-1080p rectangular frames (the
+    bench clip); None keeps the square default with an identical rng
+    sequence."""
     import cv2
 
     from ..rinkmap.dimensions import NHL, default_keypoint_positions
 
     rink = NHL
-    h, (wx0, wx1) = _homography(rng, s, rink, span_range=(0.45, 0.8))
+    fw = s if width is None else width  # frame width in px
+    h, (wx0, wx1) = _homography(rng, s, rink, span_range=span_range,
+                                width=width)
     pts = _project(h, default_keypoint_positions())
-    background = _scene_background(rng, s, rink, h, pts)
+    background = _scene_background(rng, s, rink, h, pts, width=width)
 
     team_a, team_b = _team_colors(rng)
     pants_a = tuple(int(v) for v in rng.uniform(10, 90, 3))
@@ -423,18 +450,42 @@ def render_scene_sequence(rng: np.random.Generator, s: int = 640,
     gain = rng.uniform(0.85, 1.1)
     bias = rng.uniform(-10, 8)
 
+    puck = None
+    if include_puck:
+        puck = {
+            "px": rng.uniform(lo + 5, hi - 5),
+            "py": rng.uniform(10, W - 10),
+            "vx": rng.uniform(-30, 30), "vy": rng.uniform(-20, 20),
+            "target": None, "dwell": 0,
+        }
+
     frames, labels = [], []
     for t in range(n_frames):
         img = background.copy()
         order = sorted(actors, key=lambda a: _project(
             h, [[a["px"], a["py"]]])[0][1])  # far first
+        # puck inserted at its depth position: nearer players occlude it
+        puck_xy = None
+        puck_patch = None
+        if puck is not None:
+            pc = _project(h, [[puck["px"], puck["py"]]])[0]
+            if 1 < pc[0] < fw - 2 and 1 < pc[1] < s - 2:
+                puck_xy = pc
+        drew_puck = False
         boxes, classes, tids, teams = [], [], [], []
+        rink_xy, numbers = [], []
         for a in order:
+            if (puck_xy is not None and not drew_puck
+                    and _project(h, [[a["px"], a["py"]]])[0][1]
+                    > puck_xy[1]):
+                puck_patch = _draw_puck(img, h, puck, puck_xy, s, fw)
+                drew_puck = True
             foot = _project(h, [[a["px"], a["py"]]])[0]
             hpx = _local_height(h, a["px"], a["py"]) * hscale * a["hjit"]
             if hpx < 7 or hpx > 0.95 * s:
                 continue
-            if not (-0.3 * s < foot[0] < 1.3 * s and 0 < foot[1] < 1.25 * s):
+            if not (-0.3 * fw < foot[0] < 1.3 * fw
+                    and 0 < foot[1] < 1.25 * s):
                 continue
             if a["kind"] == "goalie":
                 box = _draw_player(img, tuple(foot), hpx * 1.05, team_a,
@@ -447,7 +498,7 @@ def render_scene_sequence(rng: np.random.Generator, s: int = 640,
                                    rng, number=a["number"])
                 cls = 0
             cb = [max(box[0], 0), max(box[1], 0),
-                  min(box[2], s), min(box[3], s)]
+                  min(box[2], fw), min(box[3], s)]
             area = max(cb[2] - cb[0], 0) * max(cb[3] - cb[1], 0)
             full = (box[2] - box[0]) * (box[3] - box[1])
             if full <= 0 or area / full < 0.3 or area < 16:
@@ -456,16 +507,35 @@ def render_scene_sequence(rng: np.random.Generator, s: int = 640,
             classes.append(cls)
             tids.append(actors.index(a))
             teams.append(a["team"])
+            rink_xy.append((a["px"], a["py"]))
+            numbers.append(-1 if a["number"] is None else a["number"])
+        if puck_xy is not None and not drew_puck:  # puck nearest of all
+            puck_patch = _draw_puck(img, h, puck, puck_xy, s, fw)
+        puck_visible = False
+        if puck_patch is not None:
+            y0, y1, x0, x1, ref = puck_patch
+            same = (img[y0:y1, x0:x1] == ref).all(axis=2).mean()
+            puck_visible = bool(same >= 0.5)
 
         img = np.clip(img.astype(np.float32) * gain + bias
                       + rng.normal(0, 2.0, img.shape), 0, 255).astype(np.uint8)
         frames.append(img)
-        labels.append({
+        lab = {
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
             "classes": np.asarray(classes, np.int32),
             "track_ids": np.asarray(tids, np.int32),
             "team_ids": np.asarray(teams, np.int32),
-        })
+            "rink_xy": np.asarray(rink_xy, np.float32).reshape(-1, 2),
+            "numbers": np.asarray(numbers, np.int32),
+            "camera_h": h.copy(),
+        }
+        if puck is not None:
+            lab["puck_xy"] = (None if puck_xy is None
+                              else np.asarray(puck_xy, np.float32))
+            lab["puck_rink"] = np.asarray([puck["px"], puck["py"]],
+                                          np.float32)
+            lab["puck_visible"] = puck_visible
+        labels.append(lab)
 
         for a in actors:  # smooth skating with gentle direction drift
             a["px"] += a["vx"] / fps
@@ -483,7 +553,59 @@ def render_scene_sequence(rng: np.random.Generator, s: int = 640,
             if not (2 < a["py"] < W - 2):
                 a["vy"] *= -1
                 a["py"] = float(np.clip(a["py"], 2, W - 2))
+        if puck is not None:
+            _step_puck(puck, actors, rng, fps, lo, hi, W)
     return frames, labels
+
+
+def _draw_puck(img, h, puck, pc, s, fw=None):
+    """Draw the puck at image point `pc`; returns (y0, y1, x0, x1, patch)
+    — a copy of the region right after the draw, so later overdraw
+    (nearer players) can be detected by pixel comparison."""
+    import cv2
+
+    hpx = _local_height(h, puck["px"], puck["py"])
+    pr = max(hpx * 0.06, 2.0)
+    cv2.ellipse(img, (int(pc[0]), int(pc[1])),
+                (int(max(pr * 1.6, 2)), int(max(pr, 1))), 0, 0, 360,
+                (20, 18, 18), -1)
+    rx, ry = int(max(pr * 1.6, 2)) + 1, int(max(pr, 1)) + 1
+    fw = s if fw is None else fw
+    y0, y1 = max(int(pc[1]) - ry, 0), min(int(pc[1]) + ry + 1, s)
+    x0, x1 = max(int(pc[0]) - rx, 0), min(int(pc[0]) + rx + 1, fw)
+    return y0, y1, x0, x1, img[y0:y1, x0:x1].copy()
+
+
+def _step_puck(puck, actors, rng, fps, lo, hi, W):
+    """Puck physics: fast pass segments toward players, short dwells at
+    the receiver, board bounces, mild friction."""
+    if puck["target"] is None and puck["dwell"] <= 0:
+        recv = actors[int(rng.integers(0, len(actors)))]
+        puck["target"] = recv
+        d = np.asarray([recv["px"] - puck["px"], recv["py"] - puck["py"]])
+        dist = float(np.linalg.norm(d)) + 1e-6
+        speed = rng.uniform(35.0, 75.0)  # pass speed, ft/s
+        puck["vx"], puck["vy"] = (d / dist * speed).tolist()
+    puck["px"] += puck["vx"] / fps
+    puck["py"] += puck["vy"] / fps
+    puck["vx"] *= 0.995
+    puck["vy"] *= 0.995
+    if puck["target"] is not None:
+        tgt = puck["target"]
+        if np.hypot(tgt["px"] - puck["px"],
+                    tgt["py"] - puck["py"]) < 2.5:
+            puck["target"] = None
+            puck["dwell"] = int(rng.integers(3, 14))
+            # carried: follow the receiver loosely
+            puck["vx"], puck["vy"] = tgt["vx"], tgt["vy"]
+    elif puck["dwell"] > 0:
+        puck["dwell"] -= 1
+    if not (lo < puck["px"] < hi):
+        puck["vx"] *= -0.9
+        puck["px"] = float(np.clip(puck["px"], lo, hi))
+    if not (1.5 < puck["py"] < W - 1.5):
+        puck["vy"] *= -0.9
+        puck["py"] = float(np.clip(puck["py"], 1.5, W - 1.5))
 
 
 class HardSyntheticHockeyDataset:

@@ -1,0 +1,153 @@
+"""End-to-end PUCK_DETECTION quality harness on a coherent clip.
+
+Renders a temporally-coherent broadcast-like sequence with a MOVING puck
+and known ground-truth trajectory (train/scenes.py render_scene_sequence
+include_puck=True: fast pass segments between players, board bounces,
+natural occlusion by nearer players), runs the REAL puck pipeline
+(slicing/sahi.py: shipped hockey-puck-detection checkpoint, cross-frame
+tiled megastep, PuckTracker smoothing) and scores it:
+
+- detection recall: raw per-frame best detection within `radius` px of
+  the gt puck center, over frames where the puck is visibly drawn;
+- detection precision: fraction of emitted detections that are within
+  `radius` of gt;
+- trajectory MAE: smoothed tracker position vs gt center (all frames
+  where the tracker reports and the puck is in frame);
+- gap recovery: mean frames from the end of an occlusion gap until the
+  tracker is re-locked (within `radius`), over all gaps.
+
+Capability spec: /root/reference/README.md:44 + CLAUDE.md:55 (sliced
+small-object inference + PuckTracker trajectory smoothing).
+
+    python scripts/e2e_puck.py [--frames 96] [--seed 11] [--imgsz 960]
+
+Prints one JSON line; also written to logs/e2e_puck.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=96)
+    p.add_argument("--seed", type=int, default=11)
+    p.add_argument("--imgsz", type=int, default=960)
+    p.add_argument("--radius", type=float, default=16.0,
+                   help="match radius in px (puck is ~6-14 px wide)")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--span", type=str, default="0.25,0.45",
+                   help="camera zoom span range (fraction of rink length)")
+    args = p.parse_args()
+
+    from hockey_tpu.core.config import Config
+    from hockey_tpu.slicing.sahi import PuckPipeline
+    from hockey_tpu.train.scenes import render_scene_sequence
+
+    span = tuple(float(x) for x in args.span.split(","))
+    rng = np.random.default_rng(args.seed)
+    frames, labels = render_scene_sequence(
+        rng, args.imgsz, args.frames, span_range=span, include_puck=True)
+
+    config = Config()
+    pipe = PuckPipeline(config, frame_hw=(args.imgsz, args.imgsz))
+
+    det_tp = det_fp = vis_frames = 0
+    traj_err = []
+    # per-frame records for gap-recovery analysis
+    rec = []  # (visible, detected_close, tracker_close)
+    b = args.batch
+    for k in range(0, len(frames), b):
+        chunk = frames[k:k + b]
+        if len(chunk) < b:  # pad the tail to the compiled batch shape
+            chunk = chunk + [chunk[-1]] * (b - len(chunk))
+        batch = np.stack(chunk)
+        boxes, scores, valid = pipe.sliced.detect_frames(batch)
+        for j in range(min(b, len(frames) - k)):
+            t = k + j
+            v = valid[j]
+            out_boxes, out_scores = boxes[j][v], scores[j][v]
+            center = None
+            if len(out_boxes):
+                bb = out_boxes[int(np.argmax(out_scores))]
+                center = np.asarray([(bb[0] + bb[2]) / 2,
+                                     (bb[1] + bb[3]) / 2])
+            sm = pipe.tracker.update(
+                None if center is None else tuple(center))
+            gt = labels[t].get("puck_xy")
+            visible = bool(labels[t].get("puck_visible"))
+            det_close = (center is not None and gt is not None
+                         and float(np.linalg.norm(center - gt))
+                         <= args.radius)
+            if visible:
+                vis_frames += 1
+                det_tp += int(det_close)
+            if center is not None and not det_close:
+                det_fp += 1
+            tracker_close = False
+            if sm is not None and gt is not None:
+                e = float(np.linalg.norm(np.asarray(sm) - gt))
+                traj_err.append(e)
+                tracker_close = e <= args.radius
+            rec.append((visible, det_close, tracker_close))
+
+    recall = det_tp / max(vis_frames, 1)
+    n_det = sum(1 for _, d, _ in rec if d) + det_fp
+    precision = (n_det - det_fp) / max(n_det, 1)
+
+    # gap recovery: for each maximal invisible run followed by visible
+    # frames, count frames until the tracker re-locks
+    recoveries = []
+    t = 0
+    n = len(rec)
+    while t < n:
+        if not rec[t][0]:  # start of an invisible gap
+            g0 = t
+            while t < n and not rec[t][0]:
+                t += 1
+            if t >= n or t == g0:
+                break
+            lock = None
+            for dt in range(t, min(t + 30, n)):
+                if rec[dt][2]:
+                    lock = dt - t
+                    break
+            if lock is not None:
+                recoveries.append(lock)
+        else:
+            t += 1
+
+    out = {
+        "frames": len(frames),
+        "visible_frames": vis_frames,
+        "detection_recall": round(recall, 4),
+        "detection_precision": round(precision, 4),
+        "trajectory_mae_px": round(float(np.mean(traj_err)), 2)
+        if traj_err else None,
+        "trajectory_p90_px": round(float(np.percentile(traj_err, 90)), 2)
+        if traj_err else None,
+        "gaps": len(recoveries),
+        "gap_recovery_frames_mean": round(float(np.mean(recoveries)), 2)
+        if recoveries else 0.0,
+        "imgsz": args.imgsz,
+        "radius_px": args.radius,
+    }
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                           "logs", "e2e_puck.json"), "w") as f:
+        f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -48,6 +48,11 @@ def main() -> int:
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--imgsz", type=int, default=640,
                    help="clip resolution (square)")
+    p.add_argument("--mode", type=str, default="TEAM_CLASSIFICATION",
+                   choices=["TEAM_CLASSIFICATION", "PLAYER_TRACKING"],
+                   help="PLAYER_TRACKING additionally scores per-track "
+                        "majority-voted jersey-number accuracy "
+                        "(reference README.md:95-98)")
     args = p.parse_args()
 
     import cv2
@@ -68,17 +73,19 @@ def main() -> int:
     os.environ["HOCKEY_TPU_HEADLESS"] = "1"
     config = Config()
     config.detection_imgsz = args.imgsz
-    proc = VideoProcessor(config=config,
-                          mode=ProcessingMode.TEAM_CLASSIFICATION,
+    mode = ProcessingMode(args.mode)
+    proc = VideoProcessor(config=config, mode=mode,
                           frame_hw=(args.imgsz, args.imgsz),
                           team_names=("TEAM_A", "TEAM_B"))
-    proc.initialize_team_classifier(clip)
+    if mode == ProcessingMode.TEAM_CLASSIFICATION:
+        proc.initialize_team_classifier(clip)
 
     tp = fp = fn = 0
     # per gt actor: predicted ids seen (for stability), team votes
     id_seen: dict = {}
     team_votes: dict = {}   # (gt_team -> predicted-team counts)
     per_actor_team: dict = {}
+    actor_numbers: dict = {}  # gt actor -> gt jersey number
     t = 0
     for _ in proc.process_video(clip, skip_init=True):
         res = proc.last_frame_result
@@ -103,6 +110,8 @@ def main() -> int:
                 matched_pred.add(int(i))
                 actor = int(gt["track_ids"][j])
                 id_seen.setdefault(actor, []).append(int(tids[i]))
+                if "numbers" in gt and gt["numbers"][j] >= 1:
+                    actor_numbers[actor] = int(gt["numbers"][j])
                 gt_team = int(gt["team_ids"][j])
                 if gt_team in (0, 1):
                     team_votes.setdefault(gt_team, {})
@@ -139,19 +148,45 @@ def main() -> int:
     team_acc = team_correct / max(team_total, 1)
 
     out = {
+        "mode": args.mode,
         "frames": args.frames,
         "detection_precision": round(precision, 4),
         "detection_recall": round(recall, 4),
         "id_stability": round(id_stability, 4),
         "id_switches": switches,
         "actors": len(id_seen),
-        "team_accuracy": round(team_acc, 4),
-        "teams_separable": len(set(mapping.values())) == len(mapping),
     }
+    if mode == ProcessingMode.TEAM_CLASSIFICATION:
+        out["team_accuracy"] = round(team_acc, 4)
+        out["teams_separable"] = len(set(mapping.values())) == len(mapping)
+    else:
+        # per-track majority-voted jersey-number accuracy: each gt actor's
+        # dominant predicted track id must carry the right number at the
+        # end of the clip (reference README.md:95-98 — numbers persist
+        # per tracker id and should be correct)
+        num_ok = num_total = 0
+        wrong = []
+        for actor, number in actor_numbers.items():
+            ids = id_seen.get(actor)
+            if not ids:
+                continue
+            dominant = max(set(ids), key=ids.count)
+            got = (proc.ocr.get_number(dominant)
+                   if proc.ocr is not None else None)
+            num_total += 1
+            if got is not None and int(got) == number:
+                num_ok += 1
+            else:
+                wrong.append((number, got))
+        out["number_accuracy"] = round(num_ok / max(num_total, 1), 4)
+        out["numbered_actors"] = num_total
+        out["number_errors"] = [[n, g] for n, g in wrong]
     line = json.dumps(out)
+    name = ("e2e_quality.json" if mode == ProcessingMode.TEAM_CLASSIFICATION
+            else "e2e_tracking.json")
     print(line)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "logs", "e2e_quality.json"), "w") as f:
+                           "logs", name), "w") as f:
         f.write(line + "\n")
     return 0
 

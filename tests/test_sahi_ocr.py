@@ -161,3 +161,86 @@ class TestOwnedDigitRecognizer:
         want = {str(n) for n in numbers.values()}
         assert len(got & want) >= 4, f"read {got}, wanted some of {want}"
         assert out.shape == (H, W, 3)
+
+
+class TestPuckSequence:
+    def test_sequence_with_puck_labels(self):
+        from hockey_tpu.train.scenes import render_scene_sequence
+
+        rng = np.random.default_rng(5)
+        frames, labels = render_scene_sequence(
+            rng, 320, 24, span_range=(0.25, 0.45), include_puck=True)
+        assert len(frames) == 24
+        on = [l for l in labels if l["puck_xy"] is not None]
+        assert len(on) >= 12, "puck should be in frame most of the clip"
+        for l in on:
+            assert l["puck_xy"].shape == (2,)
+            assert (l["puck_xy"] >= 0).all() and (l["puck_xy"] < 320).all()
+            assert l["puck_rink"].shape == (2,)
+        assert sum(l["puck_visible"] for l in labels) >= 6
+        # motion is physical: bounded per-frame rink displacement
+        for a, b in zip(labels, labels[1:]):
+            d = np.linalg.norm(b["puck_rink"] - a["puck_rink"])
+            assert d < 3.5, f"puck jumped {d:.1f} ft in one frame"
+
+    def test_sequence_gt_camera_and_rink_positions(self):
+        from hockey_tpu.homography.ransac import project
+        from hockey_tpu.train.scenes import render_scene_sequence
+
+        rng = np.random.default_rng(7)
+        frames, labels = render_scene_sequence(rng, 320, 4)
+        l = labels[0]
+        assert l["camera_h"].shape == (3, 3)
+        assert len(l["rink_xy"]) == len(l["boxes"])
+        if len(l["boxes"]):
+            proj = project(l["camera_h"], l["rink_xy"].astype(np.float64))
+            feet = np.stack([(l["boxes"][:, 0] + l["boxes"][:, 2]) / 2,
+                             l["boxes"][:, 3]], 1)
+            err = np.linalg.norm(proj - feet, axis=1)
+            assert np.median(err) < 8.0, "gt rink_xy should project to feet"
+
+
+class TestCrossFrameTiles:
+    def test_detect_frames_matches_per_frame(self, rng):
+        """The cross-frame tiled megastep must produce the same merged
+        detections as the per-frame path (same forward, same NMS)."""
+        cfg = Config(puck_slice_size=128, puck_slice_overlap=0.25,
+                     nms_pre_topk=32, max_detections=8)
+        sd = SlicedDetector(cfg, frame_hw=(256, 384), seed=0)
+        frames = rng.integers(0, 255, (3, 256, 384, 3)).astype(np.uint8)
+        bb, ss, vv = sd.detect_frames(frames)
+        assert bb.shape[0] == 3 and bb.shape[2] == 4
+        for i in range(3):
+            b1, s1 = sd.detect(frames[i])
+            b2, s2 = bb[i][vv[i]], ss[i][vv[i]]
+            assert len(b1) == len(b2)
+            if len(b1):
+                np.testing.assert_allclose(
+                    np.sort(s1), np.sort(s2), atol=1e-3)
+
+    def test_pipeline_batched_puck_mode(self, tmp_path):
+        """PUCK_DETECTION through process_video uses the batched tile
+        path and yields one annotated frame per input frame."""
+        import cv2
+
+        from hockey_tpu.core.config import Config as C
+        from hockey_tpu.core.config import ProcessingMode
+        from hockey_tpu.pipeline import VideoProcessor
+
+        clip = str(tmp_path / "clip.mp4")
+        w = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                            (384, 256))
+        for i in range(7):
+            f = np.full((256, 384, 3), 220, np.uint8)
+            cv2.circle(f, (50 + 10 * i, 128), 4, (20, 18, 18), -1)
+            w.write(f)
+        w.release()
+
+        config = C(puck_slice_size=128, puck_slice_overlap=0.25,
+                   nms_pre_topk=32, max_detections=8, frame_batch=4)
+        p = VideoProcessor(config=config,
+                           mode=ProcessingMode.PUCK_DETECTION,
+                           frame_hw=(256, 384))
+        outs = list(p.process_video(clip))
+        assert len(outs) == 7
+        assert all(o.shape == (256, 384, 3) for o in outs)
