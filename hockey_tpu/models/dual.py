@@ -151,8 +151,11 @@ class DualDetector:
         return det
 
     def detect(self, frame: np.ndarray):
+        from ..ops.nms import Detections
         from .detector import HostDetections
 
         out = self.detect_batch(frame[None])
-        det = out[0] if isinstance(out, tuple) else out
+        # Detections is itself a NamedTuple (hence a tuple): check the
+        # concrete type, not tuple-ness (same pitfall as Detector.detect)
+        det = out[0] if not isinstance(out, Detections) else out
         return HostDetections.from_padded(det, 0)

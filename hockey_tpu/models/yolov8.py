@@ -93,7 +93,11 @@ class YoloConfig:
 # the notebook command names yolov8l.
 MODEL_ZOO = {
     "hockey-player-detection": YoloConfig("x", num_classes=2),
-    "hockey-detection": YoloConfig("x", num_classes=1, num_keypoints=56),
+    # s-scale since round 3: PCK@0.05 1.0 / 6.99 px at 512 on held-out
+    # views (logs/val_rink_s.json) vs the round-2 x-scale's 0.993 /
+    # 12.9 px — strictly better, 6x smaller, and it kills the dual
+    # (player+rink) megastep's 20-minute XLA compile wall (COMPAT #14)
+    "hockey-detection": YoloConfig("s", num_classes=1, num_keypoints=56),
     "hockey-puck-detection": YoloConfig("s", num_classes=1),
 }
 

@@ -52,6 +52,10 @@ def main(argv=None) -> int:
                         "'hard-puck' = puck-labeled scenes")
     p.add_argument("--pool", type=int, default=2000,
                    help="pre-rendered scene pool size (hard datasets)")
+    p.add_argument("--domain-rand", action="store_true",
+                   help="widen the hard-scene rendering family "
+                        "(scenes.sample_style) for sim2real robustness; "
+                        "the held-out val pool stays legacy-style")
     p.add_argument("--val-every", type=int, default=0,
                    help="evaluate mAP on held-out scenes every N steps and "
                         "keep the best checkpoint")
@@ -116,18 +120,21 @@ def main(argv=None) -> int:
         pucks = args.dataset == "hard-puck"
         dataset = HardSyntheticHockeyDataset(
             imgsz=args.imgsz, seed=args.seed, pool_size=args.pool,
-            pucks=pucks)
-        # held-out split: disjoint seed space
+            pucks=pucks, domain_rand=args.domain_rand)
+        # held-out split: disjoint seed space (legacy style, so val
+        # numbers stay comparable across rounds)
         val_dataset = HardSyntheticHockeyDataset(
             imgsz=args.imgsz, seed=args.seed + 7777,
             pool_size=args.val_size, pucks=pucks)
         print(f"dataset: hard synthetic scenes (pool {args.pool}, "
-              f"pucks={pucks}); pre-rendering...")
+              f"pucks={pucks}, domain_rand={args.domain_rand}); "
+              "pre-rendering...")
         import time as _t
 
         t = _t.time()
         cache = (f"/tmp/hockey_scenes_{args.imgsz}_{args.pool}_"
-                 f"{args.seed}_{int(pucks)}.npz")
+                 f"{args.seed}_{int(pucks)}"
+                 f"{'_dr' if args.domain_rand else ''}.npz")
         if dataset.load_cache(cache):
             print(f"loaded scene pool from {cache}")
         else:

@@ -75,16 +75,45 @@ def _local_height(h: np.ndarray, x: float, y: float,
     return float(np.linalg.norm(p[0] - p[1]))
 
 
+def sample_style(rng: np.random.Generator) -> Dict:
+    """Domain-randomization style knobs, sampled once per scene.
+
+    The shipped round-2 detector overfit generator A's specific sprite
+    silhouette + crowd texture (generator-B mAP50 0.11 vs 0.92 held-out,
+    logs/robustness.json) — classic sim2real style overfit. These knobs
+    widen A's rendering family (body silhouettes, crowd textures, board
+    ads, photometric pipelines) so a trained model must rely on the
+    task-relevant structure (person-shaped things on ice) rather than
+    renderer idiosyncrasies. Generator B (scenes_b.py) remains unseen
+    eval-only code."""
+    return {
+        "round": rng.uniform() < 0.5,        # rounded body silhouettes
+        "wmul": rng.uniform(0.72, 1.3),      # body slimness family
+        "goalie_pads": rng.uniform() < 0.5,  # pale leg pads
+        "crowd": ["coarse", "blur", "banner"][int(rng.integers(0, 3))],
+        "ads_text": rng.uniform() < 0.5,     # lettered board ads
+        "vignette": (rng.uniform(0.05, 0.3)
+                     if rng.uniform() < 0.5 else 0.0),
+        "cast": rng.uniform(-0.08, 0.08),    # color-temperature shift
+        "banding": rng.uniform() < 0.3,      # row brightness banding
+        "aa": rng.uniform() < 0.5,           # antialiased markings/limbs
+    }
+
+
 def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
                  rng: np.random.Generator, number: Optional[int] = None,
-                 is_goalie: bool = False, ghost: bool = False) -> List[float]:
+                 is_goalie: bool = False, ghost: bool = False,
+                 style: Optional[Dict] = None) -> List[float]:
     """Articulated sprite at `foot` (bottom-center), `hpx` tall. Returns
-    the body extent box [x1, y1, x2, y2]."""
+    the body extent box [x1, y1, x2, y2]. `style` (sample_style) widens
+    the silhouette family; None keeps the legacy sprite bit-exactly."""
     import cv2
 
     fx, fy = foot
     lean = rng.uniform(-0.12, 0.12)  # skating lean, shifts the top
     w = hpx * (0.52 if is_goalie else 0.38) * rng.uniform(0.9, 1.15)
+    if style is not None:
+        w *= style["wmul"]
     top = fy - hpx
     cxt = fx + lean * hpx  # top center after lean
 
@@ -120,6 +149,24 @@ def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
                       (int(lx + w * 0.14), int(fy)), dark, -1)
     ext.append(seg(0.42, 0.66, 0.5, pants))       # pants
     ext.append(seg(0.14, 0.46, 1.0, jersey))      # torso
+    if style is not None and style["round"]:
+        # rounded silhouette family: AA ellipse overlays soften the
+        # trapezoid edges (domain randomization, see sample_style)
+        tcx = cxt + (fx - cxt) * 0.30
+        cv2.ellipse(img, (int(tcx), int(top + 0.30 * hpx)),
+                    (max(int(w * 0.55), 1), max(int(hpx * 0.17), 1)),
+                    0, 0, 360, jersey, -1, lineType=cv2.LINE_AA)
+        hcx = cxt + (fx - cxt) * 0.54
+        cv2.ellipse(img, (int(hcx), int(top + 0.54 * hpx)),
+                    (max(int(w * 0.33), 1), max(int(hpx * 0.12), 1)),
+                    0, 0, 360, pants, -1, lineType=cv2.LINE_AA)
+    if is_goalie and style is not None and style["goalie_pads"]:
+        pad = (int(rng.uniform(185, 245)),) * 3
+        for side in (-1, 1):
+            lx = fx + side * w * 0.18
+            cv2.line(img, (int(lx), int(fy - 0.42 * hpx)),
+                     (int(lx), int(fy - 0.04 * hpx)), pad,
+                     max(1, int(w * 0.3)), lineType=cv2.LINE_AA)
     # arms
     for side in (-1, 1):
         ax = cxt + side * w * rng.uniform(0.55, 0.8)
@@ -176,7 +223,8 @@ def _team_colors(rng: np.random.Generator):
 
 def _scene_background(rng: np.random.Generator, s: int, rink,
                       h: np.ndarray, pts: np.ndarray,
-                      width: Optional[int] = None) -> np.ndarray:
+                      width: Optional[int] = None,
+                      style: Optional[Dict] = None) -> np.ndarray:
     """Ice + crowd + boards + rink markings (everything that is static
     over a short clip). Shared by render_scene (per-scene) and
     render_scene_sequence (drawn once per clip). `width` enables
@@ -201,29 +249,56 @@ def _scene_background(rng: np.random.Generator, s: int, rink,
     board_y = int(np.clip(np.median(far_edge[:, 1]), 4, s - 4))
     board_h = max(int(s * rng.uniform(0.04, 0.09)), 4)
     crowd_top = max(board_y - board_h, 0)
+    crowd_style = "coarse" if style is None else style["crowd"]
     if crowd_top > 2:
-        coarse = rng.integers(15, 130, (max(crowd_top // 6, 1), w // 6, 3),
-                              dtype=np.uint8)
-        img[:crowd_top] = cv2.resize(coarse, (w, crowd_top),
-                                     interpolation=cv2.INTER_NEAREST)
+        if crowd_style == "blur":  # soft colored blobs (bokeh crowd)
+            blob = rng.integers(10, 150,
+                                (max(crowd_top // 14, 1), w // 14, 3),
+                                dtype=np.uint8)
+            cr = cv2.resize(blob, (w, crowd_top),
+                            interpolation=cv2.INTER_LINEAR)
+            img[:crowd_top] = cv2.GaussianBlur(cr, (0, 0),
+                                               rng.uniform(1.0, 3.0))
+        elif crowd_style == "banner":  # horizontal seating tiers
+            y = 0
+            while y < crowd_top:
+                hseg = max(int(rng.uniform(0.02, 0.06) * s), 2)
+                img[y:min(y + hseg, crowd_top)] = tuple(
+                    int(v) for v in rng.uniform(15, 140, 3))
+                y += hseg
+        else:
+            coarse = rng.integers(15, 130,
+                                  (max(crowd_top // 6, 1), w // 6, 3),
+                                  dtype=np.uint8)
+            img[:crowd_top] = cv2.resize(coarse, (w, crowd_top),
+                                         interpolation=cv2.INTER_NEAREST)
     # boards band: pale with colored ad rectangles
     img[crowd_top:board_y] = (230, 228, 224)
     x = 0
     while x < w:
         wseg = int(rng.uniform(0.08, 0.25) * w)
         if rng.uniform() < 0.55:
-            cv2.rectangle(img, (x, crowd_top), (x + wseg, board_y),
-                          tuple(int(v) for v in rng.uniform(30, 220, 3)), -1)
+            col = tuple(int(v) for v in rng.uniform(30, 220, 3))
+            cv2.rectangle(img, (x, crowd_top), (x + wseg, board_y), col, -1)
+            if style is not None and style["ads_text"] and board_h > 7:
+                word = "".join(chr(int(c)) for c in
+                               rng.integers(65, 91, int(rng.integers(3, 7))))
+                fg = ((245, 245, 245) if sum(col) < 360 else (15, 15, 15))
+                cv2.putText(img, word, (x + 3, board_y - max(board_h // 3, 2)),
+                            cv2.FONT_HERSHEY_PLAIN,
+                            board_h / 22.0, fg, 1, cv2.LINE_AA)
         x += wseg
     cv2.line(img, (0, board_y), (w, board_y), (180, 60, 40), 2)  # kickplate
 
     # --- rink markings through known keypoint ids (dimensions.py layout)
     blue, red = (170, 90, 30), (60, 50, 190)
     thick = max(1, int(s / 320))
+    lt = (cv2.LINE_AA if style is not None and style["aa"]
+          else cv2.LINE_8)
 
     def line(a, b, color, t):
         cv2.line(img, (int(pts[a][0]), int(pts[a][1])),
-                 (int(pts[b][0]), int(pts[b][1])), color, t)
+                 (int(pts[b][0]), int(pts[b][1])), color, t, lineType=lt)
 
     line(20, 21, blue, 2 * thick)
     line(23, 24, blue, 2 * thick)
@@ -239,18 +314,23 @@ def _scene_background(rng: np.random.Generator, s: int, rink,
 
 
 def render_scene(rng: np.random.Generator, s: int = 640,
-                 pucks: bool = False) -> Tuple[np.ndarray, np.ndarray,
-                                               np.ndarray]:
+                 pucks: bool = False, domain_rand: bool = False
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One scene. Returns (image uint8 BGR (s, s, 3), boxes xyxy, classes).
 
     pucks=False: classes are {0: player, 1: goalie} (detector training).
     pucks=True: classes are {0: puck}; players are unlabeled distractors
-    (the puck model is single-class, MODEL_ZOO['hockey-puck-detection'])."""
+    (the puck model is single-class, MODEL_ZOO['hockey-puck-detection']).
+
+    domain_rand=True widens the rendering family per sample_style()
+    (round-3 sim2real fix); False keeps the round-2 distribution
+    bit-exactly."""
     import cv2
 
     from ..rinkmap.dimensions import NHL, default_keypoint_positions
 
     rink = NHL
+    style = sample_style(rng) if domain_rand else None
     # puck scenes mimic SAHI tiles: tighter zoom so the puck spans several
     # strides (sub-stride objects never bootstrap TAL's iou^6 alignment)
     h, (wx0, wx1) = _homography(
@@ -258,7 +338,7 @@ def render_scene(rng: np.random.Generator, s: int = 640,
     table = default_keypoint_positions()
     pts = _project(h, table)
 
-    img = _scene_background(rng, s, rink, h, pts)
+    img = _scene_background(rng, s, rink, h, pts, style=style)
 
     # --- players on the plane, back-to-front
     team_a, team_b = _team_colors(rng)
@@ -302,12 +382,13 @@ def render_scene(rng: np.random.Generator, s: int = 640,
         if kind == "goalie":
             jersey = team_a if rng.uniform() < 0.5 else (40, 160, 160)
             box = _draw_player(img, tuple(foot), hpx * 1.05, jersey,
-                               (30, 30, 30), rng, is_goalie=True)
+                               (30, 30, 30), rng, is_goalie=True,
+                               style=style)
             cls = 1
         elif kind == "ref":
             box = _draw_player(img, tuple(foot), hpx, (235, 235, 235),
                                (20, 20, 20), rng,
-                               number=None)
+                               number=None, style=style)
             # stripes
             x1, y1, x2, y2 = (int(v) for v in box)
             for sx in range(x1, x2, max(2, (x2 - x1) // 6)):
@@ -319,7 +400,7 @@ def render_scene(rng: np.random.Generator, s: int = 640,
             pants = pants_a if team == 0 else pants_b
             box = _draw_player(img, tuple(foot), hpx, jersey, pants, rng,
                                number=int(rng.integers(1, 99)),
-                               ghost=rng.uniform() < 0.15)
+                               ghost=rng.uniform() < 0.15, style=style)
             cls = 0
         # visibility gate: >= 30% of the body box inside the frame
         cb = [max(box[0], 0), max(box[1], 0), min(box[2], s), min(box[3], s)]
@@ -371,6 +452,19 @@ def render_scene(rng: np.random.Generator, s: int = 640,
     gain = rng.uniform(0.75, 1.15)
     bias = rng.uniform(-18, 12)
     img = np.clip(img.astype(np.float32) * gain + bias, 0, 255)
+    if style is not None:  # domain-randomized photometric family
+        if style["vignette"]:
+            yy, xx = np.mgrid[0:img.shape[0], 0:img.shape[1]]
+            r2 = (((xx / img.shape[1]) - 0.5) ** 2
+                  + ((yy / img.shape[0]) - 0.5) ** 2) * 4.0
+            img = img * (1.0 - style["vignette"] * r2)[..., None]
+        img[..., 2] = img[..., 2] * (1.0 + style["cast"])
+        img[..., 0] = img[..., 0] * (1.0 - style["cast"])
+        if style["banding"]:
+            band = np.sin(np.arange(img.shape[0]) * rng.uniform(0.05, 0.6)
+                          + rng.uniform(0, 7)) * rng.uniform(0.5, 3.0)
+            img = img + band[:, None, None]
+        img = np.clip(img, 0, 255)
     img = np.clip(img + rng.normal(0, rng.uniform(1, 6), img.shape),
                   0, 255).astype(np.uint8)
     if rng.uniform() < 0.6:
@@ -616,12 +710,13 @@ class HardSyntheticHockeyDataset:
 
     def __init__(self, imgsz: int = 640, seed: int = 0,
                  pool_size: int = 2000, pucks: bool = False,
-                 max_gt: int = 64):
+                 max_gt: int = 64, domain_rand: bool = False):
         self.imgsz = imgsz
         self.seed = seed
         self.pool_size = pool_size
         self.pucks = pucks
         self.max_gt = max_gt
+        self.domain_rand = domain_rand
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def __len__(self) -> int:
@@ -632,7 +727,8 @@ class HardSyntheticHockeyDataset:
         if item is None:
             rng = np.random.default_rng(
                 (self.seed + 1) * 1_000_003 + idx * 7919 + self.pucks)
-            item = render_scene(rng, self.imgsz, pucks=self.pucks)
+            item = render_scene(rng, self.imgsz, pucks=self.pucks,
+                                domain_rand=self.domain_rand)
             self._cache[idx] = item
         return item
 
@@ -647,8 +743,9 @@ class HardSyntheticHockeyDataset:
             return
         with cf.ThreadPoolExecutor(max_workers=workers) as ex:
             for idx, item in zip(missing, ex.map(
-                    _render_for, [(self.seed, i, self.imgsz, self.pucks)
-                                  for i in missing])):
+                    _render_for,
+                    [(self.seed, i, self.imgsz, self.pucks,
+                      self.domain_rand) for i in missing])):
                 self._cache[idx] = item
 
     def save_cache(self, path: str) -> None:
@@ -710,6 +807,6 @@ class HardSyntheticHockeyDataset:
 
 
 def _render_for(args):
-    seed, idx, imgsz, pucks = args
+    seed, idx, imgsz, pucks, domain_rand = args
     rng = np.random.default_rng((seed + 1) * 1_000_003 + idx * 7919 + pucks)
-    return render_scene(rng, imgsz, pucks=pucks)
+    return render_scene(rng, imgsz, pucks=pucks, domain_rand=domain_rand)
