@@ -134,3 +134,43 @@ class TestCorruptions:
         np.testing.assert_array_equal(a["boxes"], b["boxes"])
         np.testing.assert_array_equal(a["mask"], b["mask"])
         assert len(cd) == 2
+
+
+class TestDomainRandomization:
+    def test_legacy_rendering_unchanged_and_dr_differs(self):
+        from hockey_tpu.train.scenes import render_scene
+
+        a = render_scene(np.random.default_rng(9), 256)
+        b = render_scene(np.random.default_rng(9), 256)
+        assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+        d = render_scene(np.random.default_rng(9), 256, domain_rand=True)
+        assert not np.array_equal(a[0], d[0])
+        # labels stay valid under style randomization
+        assert (d[1][:, 2] > d[1][:, 0]).all()
+        assert (d[1] >= 0).all() and (d[1] <= 256).all()
+
+    def test_dr_deterministic(self):
+        from hockey_tpu.train.scenes import render_scene
+
+        a = render_scene(np.random.default_rng(4), 256, domain_rand=True)
+        b = render_scene(np.random.default_rng(4), 256, domain_rand=True)
+        assert np.array_equal(a[0], b[0])
+
+    def test_style_space_is_diverse(self):
+        from hockey_tpu.train.scenes import sample_style
+
+        rng = np.random.default_rng(0)
+        styles = [sample_style(rng) for _ in range(40)]
+        assert len({s["crowd"] for s in styles}) == 3
+        assert any(s["round"] for s in styles)
+        assert any(not s["round"] for s in styles)
+        assert any(s["vignette"] > 0 for s in styles)
+
+    def test_dataset_threads_domain_rand(self):
+        from hockey_tpu.train.scenes import HardSyntheticHockeyDataset
+
+        plain = HardSyntheticHockeyDataset(imgsz=256, pool_size=2)
+        dr = HardSyntheticHockeyDataset(imgsz=256, pool_size=2,
+                                        domain_rand=True)
+        assert not np.array_equal(plain.load(0)["images"],
+                                  dr.load(0)["images"])
