@@ -179,21 +179,51 @@ def evaluate_detector(
     dataset,
     indices: Sequence[int],
     conf: float = 0.001,
+    batch: int = 8,
 ) -> Dict[str, float]:
     """Run a hockey_tpu Detector over dataset items and compute metrics.
-    `dataset` yields dicts with 'images' (S, S, 3) f32 [0,1] + padded gt;
-    detection runs at the dataset's native letterboxed resolution."""
+    `dataset` yields dicts with 'images' (S, S, 3) f32 [0,1] + padded gt.
+
+    Batched (`batch` images per device call): single-frame calls pay a
+    full host<->device round trip each, which dominates wall clock on
+    remote-tunnel deployments (measured ~1-2 s/image vs ~0.1 s batched)."""
+    from ..ops.nms import Detections
+
     acc = EvalAccumulator(detector.cfg.num_classes)
-    for i in indices:
-        item = dataset.load(int(i)) if hasattr(dataset, "load") else dataset[i]
-        img = (item["images"] * 255).astype(np.uint8)
-        det = detector.detect(img)
-        keep = det.scores >= conf
-        gt_m = item["mask"]
-        acc.add_image(
-            det.boxes[keep], det.scores[keep], det.classes[keep],
-            item["boxes"][gt_m], item["classes"][gt_m],
-        )
+    idx = list(indices)
+    if not hasattr(detector, "detect_batch"):  # stub detectors (tests)
+        for i in idx:
+            item = (dataset.load(int(i)) if hasattr(dataset, "load")
+                    else dataset[i])
+            img = (item["images"] * 255).astype(np.uint8)
+            det = detector.detect(img)
+            keep = det.scores >= conf
+            gt_m = item["mask"]
+            acc.add_image(det.boxes[keep], det.scores[keep],
+                          det.classes[keep],
+                          item["boxes"][gt_m], item["classes"][gt_m])
+        return acc.compute()
+    for k in range(0, len(idx), batch):
+        chunk = idx[k: k + batch]
+        items = [dataset.load(int(i)) if hasattr(dataset, "load")
+                 else dataset[i] for i in chunk]
+        imgs = np.stack([(it["images"] * 255).astype(np.uint8)
+                         for it in items])
+        if len(chunk) < batch:  # static shapes: pad the tail
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], batch - len(chunk), 0)])
+        out = detector.detect_batch(imgs)
+        det = out[0] if not isinstance(out, Detections) else out
+        valid = np.asarray(det.valid)
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        classes = np.asarray(det.classes)
+        for j, it in enumerate(items):
+            keep = valid[j] & (scores[j] >= conf)
+            gt_m = it["mask"]
+            acc.add_image(boxes[j][keep], scores[j][keep],
+                          classes[j][keep],
+                          it["boxes"][gt_m], it["classes"][gt_m])
     return acc.compute()
 
 
