@@ -145,20 +145,37 @@ class PuckTracker:
         self.history: deque = deque(maxlen=smooth_window)
         self.max_gap = max_gap
         self.misses = 0
+        self._vel = np.zeros(2, np.float32)   # px/frame, EMA-smoothed
+        self._last: Optional[np.ndarray] = None
 
     def update(self, center: Optional[Tuple[float, float]]) -> Optional[Tuple[float, float]]:
         """Feed this frame's puck center (or None). Returns the smoothed
-        position, carrying through short gaps by holding the trajectory."""
+        position. Short gaps extrapolate at the (damped) estimated
+        velocity — a pass travels many px/frame, so holding the last
+        position through occlusion would park the trajectory far behind
+        the puck's reappearance point."""
         if center is None:
             self.misses += 1
             if self.misses > self.max_gap:
                 self.history.clear()
+                self._last = None
+                self._vel = np.zeros(2, np.float32)
                 return None
-            return self.smoothed()
+            if self._last is not None:
+                self._last = self._last + self._vel
+                self._vel = self._vel * 0.92
+                self.trail.append((float(self._last[0]),
+                                   float(self._last[1])))
+                return (float(self._last[0]), float(self._last[1]))
+            return None
         self.misses = 0
         self.history.append(np.asarray(center, np.float32))
         sm = self.smoothed()
         if sm is not None:
+            smv = np.asarray(sm, np.float32)
+            if self._last is not None:
+                self._vel = 0.35 * self._vel + 0.65 * (smv - self._last)
+            self._last = smv
             self.trail.append(sm)
         return sm
 

@@ -312,14 +312,16 @@ def _draw_person_b(img, foot: np.ndarray, hpx: float, jersey, pants,
     dark = (22, 22, 26)
     skin = (int(rng.uniform(130, 205)),) * 3
 
-    # stick first (behind)
+    # stick first (behind). NOT part of the extent box: the shared label
+    # contract (generator A's, and standard sports-person labeling) is
+    # body extent without the stick — including it here shifted B's gt
+    # boxes ~0.5*hpx sideways and made every detection score as a miss
+    # (the round-3 "OOD gap" was half this labeling bug)
     if not is_goalie and rng.uniform() < 0.85:
         hx, hy = at(0.38, rng.choice([-1, 1]) * bw * 0.7)
         tip = (hx + rng.choice([-1, 1]) * rng.uniform(0.4, 1.0) * hpx,
                fy + rng.uniform(-0.05, 0.03) * hpx)
         _capsule(img, (hx, hy), tip, hpx * 0.028, (60, 70, 80))
-        ext.append([min(hx, tip[0]), min(hy, tip[1]),
-                    max(hx, tip[0]), max(hy, tip[1])])
     # legs: two capsules hip->skate
     hipL = at(0.48, -bw * 0.22)
     hipR = at(0.48, bw * 0.22)

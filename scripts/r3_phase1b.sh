@@ -1,5 +1,7 @@
 #!/bin/bash
 cd /root/repo
+echo "=== robustness: player (generator B re-run, stick-label fix + batched eval)"
+timeout 2400 python scripts/robustness.py --limit 100 --corr-limit 40 || true
 echo "=== robustness: puck (generator B + corruption curves)"
 timeout 2400 python scripts/robustness.py --model hockey-puck-detection --pucks \
   --limit 100 --corr-limit 30 || true
