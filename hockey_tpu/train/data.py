@@ -224,7 +224,8 @@ class SyntheticRinkDataset:
     the projected landmarks so the network has visual structure to regress.
     Items carry 'keypoints' (1, 56, 3) for the pose loss."""
 
-    def __init__(self, imgsz: int = 128, seed: int = 0, max_gt: int = 4):
+    def __init__(self, imgsz: int = 128, seed: int = 0, max_gt: int = 4,
+                 rich: bool = False):
         from ..rinkmap.dimensions import NHL, default_keypoint_positions
 
         self.imgsz = imgsz
@@ -232,6 +233,13 @@ class SyntheticRinkDataset:
         self.max_gt = max_gt
         self.table = default_keypoint_positions()
         self.rink = NHL
+        # rich=True renders full broadcast context (crowd/boards/ads via
+        # scenes._scene_background, player sprites occluding markings,
+        # glare + photometric degradation). The round-2 pose model was
+        # trained on the sterile default and collapsed out of
+        # distribution (generator-B PCK 0.056 vs 1.0 in-distribution);
+        # deployed frames always carry this clutter.
+        self.rich = rich
 
     def __len__(self) -> int:
         return 1 << 30
@@ -259,25 +267,29 @@ class SyntheticRinkDataset:
         h = dlt_homography(rink_corners, img_corners)  # rink -> image
         pts = project(h, self.table.astype(np.float64))  # (56, 2)
 
-        img = np.full((s, s, 3), 225, np.uint8)
-        img[...] += rng.integers(0, 8, (s, s, 3), dtype=np.uint8)
+        if self.rich:
+            img = self._rich_scene(rng, s, h, pts)
+        else:
+            img = np.full((s, s, 3), 225, np.uint8)
+            img[...] += rng.integers(0, 8, (s, s, 3), dtype=np.uint8)
 
-        def line(a, b, color, w=1):
-            cv2.line(img, (int(pts[a][0]), int(pts[a][1])),
-                     (int(pts[b][0]), int(pts[b][1])), color, w)
+            def line(a, b, color, w=1):
+                cv2.line(img, (int(pts[a][0]), int(pts[a][1])),
+                         (int(pts[b][0]), int(pts[b][1])), color, w)
 
-        # draw structure through known keypoint ids (dimensions.py layout)
-        blue = (160, 90, 30)
-        red = (50, 50, 190)
-        line(20, 21, blue, 2)   # left blue line
-        line(23, 24, blue, 2)   # right blue line
-        line(26, 27, red, 2)    # center line
-        line(0, 1, red, 1)      # left goal line
-        line(36, 37, red, 1)    # right goal line
-        for c_id, r_id in ((28, 29), (5, 7), (6, 11), (41, 43), (42, 47)):
-            c = pts[c_id]
-            r = max(int(np.linalg.norm(pts[r_id] - c)), 2)
-            cv2.circle(img, (int(c[0]), int(c[1])), r, red, 1)
+            # draw structure through known keypoint ids (dimensions.py)
+            blue = (160, 90, 30)
+            red = (50, 50, 190)
+            line(20, 21, blue, 2)   # left blue line
+            line(23, 24, blue, 2)   # right blue line
+            line(26, 27, red, 2)    # center line
+            line(0, 1, red, 1)      # left goal line
+            line(36, 37, red, 1)    # right goal line
+            for c_id, r_id in ((28, 29), (5, 7), (6, 11), (41, 43),
+                               (42, 47)):
+                c = pts[c_id]
+                r = max(int(np.linalg.norm(pts[r_id] - c)), 2)
+                cv2.circle(img, (int(c[0]), int(c[1])), r, red, 1)
 
         vis = ((pts[:, 0] >= 0) & (pts[:, 0] < s)
                & (pts[:, 1] >= 0) & (pts[:, 1] < s))
@@ -299,6 +311,66 @@ class SyntheticRinkDataset:
         return {"images": img.astype(np.float32) / 255.0, "boxes": boxes,
                 "classes": classes, "mask": mask,
                 "keypoints": kpts}
+
+    def _rich_scene(self, rng: np.random.Generator, s: int, h, pts
+                    ) -> np.ndarray:
+        """Full broadcast context for pose training: scene background
+        (ice shade, crowd, boards/ads, markings through the SAME
+        keypoint table), player sprites occluding the markings, glare,
+        and photometric degradation — generator-A machinery, reused so
+        the pose model sees deployment-like clutter."""
+        import cv2
+
+        from .scenes import (
+            _draw_player,
+            _local_height,
+            _scene_background,
+            _team_colors,
+            sample_style,
+        )
+        from ..homography.ransac import project
+
+        style = sample_style(rng)
+        img = _scene_background(rng, s, self.rink, h, pts, style=style)
+        team_a, team_b = _team_colors(rng)
+        pants = tuple(int(v) for v in rng.uniform(10, 90, 3))
+        L, W = self.rink.length, self.rink.width
+        actors = [(rng.uniform(2, W - 2), rng.uniform(5, L - 5))
+                  for _ in range(int(rng.integers(3, 14)))]
+        order = sorted(actors, key=lambda a: project(
+            h, np.asarray([[a[1], a[0]]], np.float64))[0][1])
+        for py, px in order:
+            foot = project(h, np.asarray([[px, py]], np.float64))[0]
+            hpx = _local_height(h, px, py) * rng.uniform(0.9, 1.1)
+            if hpx < 6 or hpx > 0.6 * s:
+                continue
+            if not (0 < foot[0] < s and 0 < foot[1] < 1.1 * s):
+                continue
+            _draw_player(img, tuple(foot), hpx,
+                         team_a if rng.uniform() < 0.5 else team_b,
+                         pants, rng, style=style)
+        for _ in range(int(rng.integers(0, 3))):  # glare
+            overlay = img.copy()
+            cv2.ellipse(overlay,
+                        (int(rng.uniform(0, s)), int(rng.uniform(0, s))),
+                        (int(rng.uniform(0.1, 0.4) * s),
+                         int(rng.uniform(0.05, 0.2) * s)),
+                        int(rng.uniform(0, 180)), 0, 360,
+                        (255, 255, 255), -1)
+            a = rng.uniform(0.08, 0.3)
+            cv2.addWeighted(overlay, a, img, 1 - a, 0, dst=img)
+        gain = rng.uniform(0.75, 1.15)
+        out = np.clip(img.astype(np.float32) * gain
+                      + rng.uniform(-18, 12), 0, 255)
+        out = np.clip(out + rng.normal(0, rng.uniform(1, 5), out.shape),
+                      0, 255).astype(np.uint8)
+        if rng.uniform() < 0.5:
+            ok, enc = cv2.imencode(
+                ".jpg", out, [int(cv2.IMWRITE_JPEG_QUALITY),
+                              int(rng.integers(40, 92))])
+            if ok:
+                out = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+        return out
 
 
 def batch_iterator(dataset, batch_size: int, steps: int, seed: int = 0,

@@ -111,8 +111,10 @@ def main(argv=None) -> int:
     elif cfg.num_keypoints:
         from .data import SyntheticRinkDataset
 
-        dataset = SyntheticRinkDataset(imgsz=args.imgsz, seed=args.seed)
-        print("dataset: synthetic rink views (pose model, no --images)")
+        dataset = SyntheticRinkDataset(imgsz=args.imgsz, seed=args.seed,
+                                       rich=args.domain_rand)
+        print("dataset: synthetic rink views (pose model, no --images, "
+              f"rich={args.domain_rand})")
     elif args.dataset in ("hard", "hard-puck") or (
             args.dataset == "auto" and args.val_every):
         from .scenes import HardSyntheticHockeyDataset
