@@ -425,6 +425,17 @@ def render_scene(rng: np.random.Generator, s: int = 640,
             cv2.ellipse(img, (int(c[0]), int(c[1])),
                         (int(max(pr * 1.6, 2)), int(max(pr, 1))), 0, 0, 360,
                         (20, 18, 18), -1)
+            if style is not None:
+                # puck appearance family: aspect/darkness variation and
+                # an edge-lit top face (broadcast pucks read two-tone)
+                if rng.uniform() < 0.5:
+                    lit = int(rng.uniform(40, 75))
+                    cv2.ellipse(img, (int(c[0]),
+                                      int(c[1] - max(pr, 1) * 0.35)),
+                                (int(max(pr * 1.3, 1)),
+                                 int(max(pr * 0.45, 1))), 0, 0, 360,
+                                (lit, lit, lit), -1,
+                                lineType=cv2.LINE_AA)
             if pucks:
                 boxes.append([c[0] - 2 * pr, c[1] - 1.5 * pr,
                               c[0] + 2 * pr, c[1] + 1.5 * pr])
