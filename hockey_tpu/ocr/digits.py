@@ -166,11 +166,56 @@ def render_number_crop(rng: np.random.Generator,
     return img, tens, number % 10
 
 
-def make_batch(rng: np.random.Generator, batch: int
+def render_scene_number_crop(rng: np.random.Generator
+                             ) -> Tuple[np.ndarray, int, int]:
+    """A torso crop extracted from an actual rendered player sprite —
+    the exact pipeline the jersey reader sees at runtime (arms/head
+    edges, lean, pants boundary), vs render_number_crop's flat jersey
+    panel. Training on a mix closes the train/deploy distribution gap
+    measured in round 3 (0.9455 crop-level on panels but ~0.8 per-track
+    on real sequences)."""
+    import cv2
+
+    from ..train.scenes import _draw_player
+
+    number = (int(rng.integers(1, 10)) if rng.uniform() < 0.45
+              else int(rng.integers(10, 100)))
+    hpx = float(rng.uniform(46, 150))
+    h = int(hpx * 1.25)
+    w = int(hpx * rng.uniform(0.7, 1.1))
+    ice = (int(rng.uniform(170, 245)),) * 3
+    img = np.full((h, w, 3), ice, np.uint8)
+    img = np.clip(img.astype(np.int16)
+                  + rng.normal(0, 3, img.shape), 0, 255).astype(np.uint8)
+    jersey = tuple(int(v) for v in rng.uniform(0, 255, 3)) \
+        if rng.uniform() < 0.75 else (int(rng.uniform(200, 255)),) * 3
+    pants = tuple(int(v) for v in rng.uniform(10, 90, 3))
+    foot = (w / 2 + rng.uniform(-0.08, 0.08) * w, h * 0.99)
+    box = _draw_player(img, foot, hpx, jersey, pants, rng, number=number)
+    x1, y1 = max(int(box[0]), 0), max(int(box[1]), 0)
+    x2, y2 = min(int(box[2]), w), min(int(box[3]), h)
+    bh = y2 - y1
+    crop = img[y1 + int(bh * 0.2): y1 + int(bh * 0.6), x1:x2]
+    if crop.size == 0:
+        crop = img
+    if rng.uniform() < 0.4:
+        crop = cv2.blur(crop, (int(rng.integers(1, 3)),) * 2)
+    gain = rng.uniform(0.7, 1.2)
+    crop = np.clip(crop.astype(np.float32) * gain
+                   + rng.uniform(-18, 15), 0, 255).astype(np.uint8)
+    tens = number // 10 if number >= 10 else TENS_NONE
+    return crop, tens, number % 10
+
+
+def make_batch(rng: np.random.Generator, batch: int,
+               scene_frac: float = 0.5
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     xs, ts, os_ = [], [], []
     for _ in range(batch):
-        img, t, o = render_number_crop(rng)
+        if rng.uniform() < scene_frac:
+            img, t, o = render_scene_number_crop(rng)
+        else:
+            img, t, o = render_number_crop(rng)
         xs.append(normalize_crop(img))
         ts.append(t)
         os_.append(o)
@@ -196,7 +241,8 @@ def eval_exact_match(params: Dict, seed: int = 424242,
 
 def train(steps: int = 3000, batch: int = 128, lr: float = 1e-3,
           seed: int = 0, out: Optional[str] = None,
-          log_every: int = 200, eval_every: int = 0) -> Dict:
+          log_every: int = 200, eval_every: int = 0,
+          init: Optional[str] = None) -> Dict:
     """Train the recognizer on synthetic crops; returns the params with
     the best held-out exact-match (falls back to final when eval is off).
 
@@ -207,7 +253,13 @@ def train(steps: int = 3000, batch: int = 128, lr: float = 1e-3,
 
     import optax
 
-    params = init_digit_params(seed)
+    if init:
+        from ..models.checkpoint import load_params
+
+        params = load_params(init)
+        print(f"initialized from {init}")
+    else:
+        params = init_digit_params(seed)
     opt = optax.adamw(optax.warmup_cosine_decay_schedule(
         0.0, lr, 100, steps, lr * 0.01), weight_decay=1e-4)
     opt_state = opt.init(params)
@@ -293,6 +345,8 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--out", type=str, default=WEIGHTS_PATH)
+    ap.add_argument("--init", type=str, default=None,
+                    help="warm-start from a checkpoint")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (train alongside a TPU "
                     "job; plain env vars are overridden by the axon "
@@ -301,4 +355,4 @@ if __name__ == "__main__":
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     train(steps=args.steps, batch=args.batch, out=args.out,
-          eval_every=args.eval_every)
+          eval_every=args.eval_every, init=args.init)

@@ -53,6 +53,11 @@ def main() -> int:
                    help="PLAYER_TRACKING additionally scores per-track "
                         "majority-voted jersey-number accuracy "
                         "(reference README.md:95-98)")
+    p.add_argument("--span", type=str, default="0.45,0.8",
+                   help="camera zoom span. Number scoring wants a tight "
+                        "zoom (e.g. 0.28,0.42) at --imgsz >= 960: the "
+                        "OCR reads crops >= 60 px tall (the reference's "
+                        "easyocr gate), which wide shots never produce")
     args = p.parse_args()
 
     import cv2
@@ -62,7 +67,9 @@ def main() -> int:
     from hockey_tpu.train.scenes import render_scene_sequence
 
     rng = np.random.default_rng(args.seed)
-    frames, labels = render_scene_sequence(rng, args.imgsz, args.frames)
+    span = tuple(float(x) for x in args.span.split(","))
+    frames, labels = render_scene_sequence(rng, args.imgsz, args.frames,
+                                           span_range=span)
     clip = "/tmp/e2e_quality_clip.mp4"
     w = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 30,
                         (args.imgsz, args.imgsz))
