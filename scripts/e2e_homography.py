@@ -59,6 +59,9 @@ def main() -> int:
                         "near-full-rink views)")
     p.add_argument("--pass-ft", type=float, default=6.0,
                    help="recovered-lock threshold for cut recovery (ft)")
+    p.add_argument("--rink-checkpoint", type=str, default=None,
+                   help="evaluate this rink-pose checkpoint instead of the "
+                        "shipped weights (pre-ship candidate evaluation)")
     args = p.parse_args()
 
     import cv2
@@ -90,7 +93,8 @@ def main() -> int:
     config.detection_imgsz = args.imgsz
     proc = VideoProcessor(config=config, mode=ProcessingMode.PLAYER_TRACKING,
                           frame_hw=(args.imgsz, args.imgsz),
-                          show_2d_map=True)
+                          show_2d_map=True,
+                          rink_checkpoint=args.rink_checkpoint)
 
     calib_err = []        # per-frame mean |H_rec(gt foot px) - gt rink| ft
     pipe_err = []         # same through the pipeline's own tracked feet

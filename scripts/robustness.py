@@ -39,6 +39,9 @@ def main() -> int:
     p.add_argument("--pucks", action="store_true",
                    help="evaluate the puck model on puck-labeled scenes")
     p.add_argument("--skip-corruptions", action="store_true")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="evaluate this checkpoint instead of the shipped "
+                        "weights (e.g. a retrain candidate before shipping)")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
@@ -52,8 +55,10 @@ def main() -> int:
     config = Config()
     config.detection_imgsz = args.imgsz
     det = Detector(args.model, config, frame_hw=(args.imgsz, args.imgsz),
-                   imgsz=args.imgsz, conf=0.001)
-    out = {"model": args.model, "imgsz": args.imgsz}
+                   imgsz=args.imgsz, conf=0.001,
+                   checkpoint=args.checkpoint)
+    out = {"model": args.model, "imgsz": args.imgsz,
+           "checkpoint": args.checkpoint}
 
     # --- generator B (never-seen renderer)
     ds_b = HardSyntheticHockeyDatasetB(
