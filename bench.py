@@ -218,6 +218,44 @@ def bench_puck() -> float:
     return reps * k / (time.perf_counter() - t0)
 
 
+def bench_dual() -> dict:
+    """Dual (player@1280 + rink-pose@512 + team features) megastep — the
+    --show-2d-map device program (models/dual.py). Reports fps and compile
+    seconds per batch size; the round-2 x-scale rink model cost ~20 min of
+    XLA compile at batch 128 (pipeline caps the dual path), the round-3
+    s-scale model is 6x smaller — this records whether the cap can rise."""
+    import jax.numpy as jnp
+
+    from hockey_tpu.core.config import Config
+    from hockey_tpu.models.dual import DualDetector
+    from hockey_tpu.train.scenes import render_scene_sequence
+
+    det = DualDetector(Config(), frame_hw=(1080, 1920))
+    hard, _ = render_scene_sequence(np.random.default_rng(42), 1080, 32,
+                                    width=1920)
+    hard = np.stack(hard)
+    out = {"fps": 0.0, "compile_s": {}}
+    for batch in (32, 64):
+        frames = jnp.asarray(
+            np.tile(hard, (max(batch // 32, 1), 1, 1, 1))[:batch])
+        _ = np.asarray(frames[0, 0, 0, 0])
+        try:
+            t0 = time.perf_counter()
+            _ = det.detect_batch(frames)  # syncs via np.asarray internally
+            out["compile_s"][str(batch)] = round(time.perf_counter() - t0, 1)
+            _ = det.detect_batch(frames)  # warm
+            n_iter = max(2, int(64 // batch))
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                _ = det.detect_batch(frames)
+            out["fps"] = max(out["fps"], batch * n_iter
+                             / (time.perf_counter() - t0))
+        except Exception as e:
+            out["compile_s"][str(batch)] = f"{type(e).__name__}"
+            break
+    return out
+
+
 def main() -> None:
     detect_fps = bench_detect()
 
@@ -232,6 +270,10 @@ def main() -> None:
         puck_fps = bench_puck()
     except Exception:
         puck_fps = 0.0
+    try:
+        dual = bench_dual()
+    except Exception:
+        dual = {"fps": 0.0, "compile_s": {}}
 
     print(json.dumps({
         "metric": "e2e_1080p_detect_fps_per_chip",
@@ -241,6 +283,8 @@ def main() -> None:
         "e2e_pipeline_fps": round(e2e.get("fps", 0.0), 2),
         "e2e_compute_fps": round(e2e.get("compute_fps", 0.0), 2),
         "puck_fps": round(puck_fps, 2),
+        "dual_fps": round(dual.get("fps", 0.0), 2),
+        "dual_compile_s": dual.get("compile_s", {}),
         "e2e_detail": {k: v for k, v in e2e.items()
                        if k not in ("fps", "compute_fps")},
     }))

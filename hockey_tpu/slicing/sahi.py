@@ -139,14 +139,120 @@ class PuckTracker:
     (documented spec: README.md:44 'PuckTracker class maintains detection
     history for trajectory smoothing')."""
 
+    # gating constants (px / px-per-frame units at frame resolution)
+    GATE_BASE = 28.0    # lock gate radius around the predicted position
+    GATE_VEL = 3.0      # gate growth per px/frame of estimated speed
+    GATE_MISS = 6.0     # gate growth per coasted (missed) frame
+    PEND_RADIUS = 48.0  # spatial consistency radius for pending evidence
+    PEND_SNAP = 3       # consecutive consistent far fires to re-acquire
+    PEND_MARGIN = 0.10  # score margin a far fire needs over the gated pick
+    COAST_FRAMES = 5    # misses to keep EMITTING the extrapolated position
+                        # (state persists to max_gap for re-acquisition, but
+                        # a long-extrapolated guess is usually hundreds of px
+                        # off on a bouncing puck — stop drawing it)
+
     def __init__(self, trail_length: int = 30, smooth_window: int = 5,
                  max_gap: int = 15):
         self.trail: deque = deque(maxlen=trail_length)
         self.history: deque = deque(maxlen=smooth_window)
+        self._ts: deque = deque(maxlen=smooth_window)  # frame stamps
+        self._t = 0
         self.max_gap = max_gap
         self.misses = 0
         self._vel = np.zeros(2, np.float32)   # px/frame, EMA-smoothed
         self._last: Optional[np.ndarray] = None
+        self._pend: Optional[np.ndarray] = None  # candidate re-acquisition
+        self._pend_n = 0
+
+    def _note_pending(self, c: np.ndarray) -> bool:
+        """Accumulate spatially-consistent off-track evidence. Returns True
+        once PEND_SNAP consecutive consistent fires have been seen."""
+        if (self._pend is not None
+                and float(np.linalg.norm(c - self._pend)) <= self.PEND_RADIUS):
+            self._pend = 0.5 * (self._pend + c)
+            self._pend_n += 1
+        else:
+            self._pend = c.copy()
+            self._pend_n = 1
+        return self._pend_n >= self.PEND_SNAP
+
+    def _clear_pending(self) -> None:
+        self._pend = None
+        self._pend_n = 0
+
+    def _reacquire(self, c: np.ndarray) -> Optional[Tuple[float, float]]:
+        """Drop the stale track state and restart the fit at c."""
+        self.history.clear()
+        self._ts.clear()
+        self._vel = np.zeros(2, np.float32)
+        self._last = None
+        self.misses = 0
+        self._clear_pending()
+        return self.update((float(c[0]), float(c[1])))
+
+    def ingest(self, boxes: np.ndarray, scores: np.ndarray
+               ) -> Tuple[Optional[Tuple[float, float]], Optional[int]]:
+        """Gated selection over this frame's detections, then update.
+
+        The raw argmax detection is NOT trustworthy frame-to-frame: compact
+        dark blobs attached to players (gloves, stick blades, skates) draw
+        confident false fires, and a single one dragged the linear-fit
+        trajectory by hundreds of px (e2e MAE 106 px at precision 0.86,
+        logs/e2e_puck.json before this gate). A real puck's evidence is
+        temporally coherent, a glove's is not, so:
+
+        - while locked, only detections inside a velocity-scaled gate
+          around the predicted position are eligible (best score-minus-
+          distance utility wins);
+        - off-gate fires (or fires while unlocked) only take over after
+          PEND_SNAP consecutive spatially-consistent frames — one glove
+          flash is ignored, a genuinely re-appearing puck re-acquires in
+          PEND_SNAP frames.
+
+        Returns (smoothed position, index of the selected detection or
+        None if this frame contributed no accepted evidence).
+        """
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        scores = np.asarray(scores, np.float32).reshape(-1)
+        if boxes.shape[0] == 0:
+            return self.update(None), None
+        cents = np.stack([(boxes[:, 0] + boxes[:, 2]) / 2,
+                          (boxes[:, 1] + boxes[:, 3]) / 2], 1)
+
+        if self._last is None:
+            # cold acquisition: require PEND_SNAP-frame spatial consistency
+            # before trusting anything (an unlucky first lock onto a glove
+            # would then be defended by the gate itself)
+            i = int(np.argmax(scores))
+            if self._note_pending(cents[i]):
+                return self._reacquire(cents[i]), i
+            self.update(None)
+            return None, None
+
+        gate = (self.GATE_BASE
+                + self.GATE_VEL * float(np.linalg.norm(self._vel))
+                + self.GATE_MISS * self.misses)
+        d = np.linalg.norm(cents - self._last, axis=1)
+        in_gate = d <= gate
+        if in_gate.any():
+            util = np.where(in_gate, scores - 0.004 * d, -np.inf)
+            i = int(np.argmax(util))
+            # a much more confident fire far away: remember it — if it
+            # persists it is the puck and the lock is on a distractor
+            far = (~in_gate) & (scores > scores[i] + self.PEND_MARGIN)
+            if far.any():
+                j = int(np.argmax(np.where(far, scores, -np.inf)))
+                if self._note_pending(cents[j]):
+                    return self._reacquire(cents[j]), j
+            else:
+                self._clear_pending()
+            return self.update((float(cents[i, 0]), float(cents[i, 1]))), i
+        # nothing in the gate: coast, but track the best raw fire as
+        # pending re-acquisition evidence
+        j = int(np.argmax(scores))
+        if self._note_pending(cents[j]):
+            return self._reacquire(cents[j]), j
+        return self.update(None), None
 
     def update(self, center: Optional[Tuple[float, float]]) -> Optional[Tuple[float, float]]:
         """Feed this frame's puck center (or None). Returns the smoothed
@@ -154,22 +260,36 @@ class PuckTracker:
         velocity — a pass travels many px/frame, so holding the last
         position through occlusion would park the trajectory far behind
         the puck's reappearance point."""
+        self._t += 1                 # frame clock (misses advance it too)
         if center is None:
             self.misses += 1
             if self.misses > self.max_gap:
                 self.history.clear()
+                self._ts.clear()
                 self._last = None
                 self._vel = np.zeros(2, np.float32)
                 return None
             if self._last is not None:
                 self._last = self._last + self._vel
                 self._vel = self._vel * 0.92
+                if self.misses > self.COAST_FRAMES:
+                    return None  # state kept for gating, output suppressed
                 self.trail.append((float(self._last[0]),
                                    float(self._last[1])))
                 return (float(self._last[0]), float(self._last[1]))
             return None
+        c = np.asarray(center, np.float32)
+        if (self.misses > 2 and self._last is not None
+                and float(np.linalg.norm(c - self._last)) > 32.0):
+            # re-acquisition after an occlusion gap far from where the
+            # extrapolation drifted: stale history would drag the smoothed
+            # position for frames — snap to the new evidence instead
+            self.history.clear()
+            self._ts.clear()
+            self._vel = np.zeros(2, np.float32)
         self.misses = 0
-        self.history.append(np.asarray(center, np.float32))
+        self.history.append(c)
+        self._ts.append(self._t)
         sm = self.smoothed()
         if sm is not None:
             smv = np.asarray(sm, np.float32)
@@ -180,11 +300,30 @@ class PuckTracker:
         return sm
 
     def smoothed(self) -> Optional[Tuple[float, float]]:
-        if not self.history:
+        """Recency-weighted LINEAR FIT over the history window, evaluated
+        at the newest sample's timestamp. A weighted running mean lags a
+        moving puck by ~1.3 frames — 25-40 px on a pass, more than the
+        whole match radius; the fit tracks constant-velocity motion with
+        zero lag while still averaging detection noise."""
+        n = len(self.history)
+        if n == 0:
             return None
-        w = np.arange(1, len(self.history) + 1, dtype=np.float32)
         pts = np.stack(list(self.history))
-        p = (pts * w[:, None]).sum(0) / w.sum()
+        if n < 3:
+            p = pts[-1] if n == 1 else pts.mean(0) * 0.5 + pts[-1] * 0.5
+            return (float(p[0]), float(p[1]))
+        t = np.asarray(list(self._ts), np.float32)
+        t = t - t[-1]                       # newest sample at t=0
+        w = 1.0 / (1.0 + 0.35 * (-t))       # recency weighting
+        sw = w.sum()
+        tm = (w * t).sum() / sw
+        den = (w * (t - tm) ** 2).sum()
+        p = np.empty(2, np.float32)
+        for d in range(2):
+            ym = (w * pts[:, d]).sum() / sw
+            b = ((w * (t - tm) * (pts[:, d] - ym)).sum() / den
+                 if den > 1e-6 else 0.0)
+            p[d] = ym + b * (0.0 - tm)       # evaluate at the newest frame
         return (float(p[0]), float(p[1]))
 
     def draw_trail(self, frame: np.ndarray,
@@ -230,14 +369,13 @@ class PuckPipeline:
 
     def _annotate(self, frame: np.ndarray, boxes: np.ndarray,
                   scores: np.ndarray) -> np.ndarray:
-        center = None
-        if len(boxes):
-            b = boxes[int(np.argmax(scores))]
-            center = ((b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0)
-        self.last_center = self.tracker.update(center)
-        self.last_detection = center
+        self.last_center, idx = self.tracker.ingest(boxes, scores)
+        self.last_detection = None
         out = frame.copy()
-        if len(boxes):
-            b = boxes[int(np.argmax(scores))].astype(int)
-            cv2.rectangle(out, (b[0], b[1]), (b[2], b[3]), (0, 215, 255), 2)
+        if idx is not None:
+            b = boxes[idx]
+            self.last_detection = ((b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0)
+            bi = b.astype(int)
+            cv2.rectangle(out, (bi[0], bi[1]), (bi[2], bi[3]),
+                          (0, 215, 255), 2)
         return self.tracker.draw_trail(out)

@@ -136,9 +136,18 @@ def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
     # stick (behind the body)
     if not is_goalie and rng.uniform() < 0.9:
         sx = fx + rng.choice([-1, 1]) * rng.uniform(0.3, 0.9) * hpx
+        sy = fy - rng.uniform(-0.02, 0.08) * hpx
         cv2.line(img, (int(fx), int(fy - 0.45 * hpx)),
-                 (int(sx), int(fy - rng.uniform(-0.02, 0.08) * hpx)),
-                 dark, max(1, int(hpx * 0.03)))
+                 (int(sx), int(sy)), dark, max(1, int(hpx * 0.03)))
+        # stick BLADE: a puck-sized dark blob at the stick's far end.
+        # Deliberate hard negative — the puck detector must learn that a
+        # compact dark blob attached to a stick/foot is not a puck
+        # (generator-B skate blades and stick blades drew confident
+        # false fires, logs/diag_puck_b)
+        if rng.uniform() < 0.8:
+            cv2.ellipse(img, (int(sx), int(sy)),
+                        (max(int(hpx * 0.045), 1), max(int(hpx * 0.02), 1)),
+                        0, 0, 360, dark, -1, lineType=cv2.LINE_AA)
     ext = []
     # legs / skates
     for side in (-1, 1):
@@ -147,6 +156,10 @@ def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
                        pants if is_goalie else (40, 40, 40)))
         cv2.rectangle(img, (int(lx - w * 0.14), int(fy - hpx * 0.06)),
                       (int(lx + w * 0.14), int(fy)), dark, -1)
+        # skate BLADE sliver below the boot (same hard-negative family)
+        cv2.ellipse(img, (int(lx), int(fy)),
+                    (max(int(w * 0.17), 1), max(int(hpx * 0.012), 1)),
+                    0, 0, 360, (15, 14, 14), -1, lineType=cv2.LINE_AA)
     ext.append(seg(0.42, 0.66, 0.5, pants))       # pants
     ext.append(seg(0.14, 0.46, 1.0, jersey))      # torso
     if style is not None and style["round"]:
@@ -176,6 +189,15 @@ def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
         ], np.float32)
         cv2.line(img, tuple(pts[0].astype(int)), tuple(pts[1].astype(int)),
                  jersey, max(1, int(hpx * 0.07)))
+        # GLOVE: dark hand blob at the arm end — the densest puck false-
+        # fire source on generator B (every actor carries two of them at
+        # 0.85-0.93 confidence, logs/diag_puck_b); same contextual
+        # hard-negative family as the stick/skate blades
+        if rng.uniform() < 0.85:
+            gl = int(rng.uniform(14, 40))
+            cv2.circle(img, (int(pts[1, 0]), int(pts[1, 1])),
+                       max(int(hpx * rng.uniform(0.03, 0.055)), 1),
+                       (gl, gl, gl), -1, lineType=cv2.LINE_AA)
         ext.append([min(pts[0, 0], pts[1, 0]), pts[0, 1],
                     max(pts[0, 0], pts[1, 0]), pts[1, 1]])
     # head + helmet
@@ -334,7 +356,7 @@ def render_scene(rng: np.random.Generator, s: int = 640,
     # puck scenes mimic SAHI tiles: tighter zoom so the puck spans several
     # strides (sub-stride objects never bootstrap TAL's iou^6 alignment)
     h, (wx0, wx1) = _homography(
-        rng, s, rink, span_range=(0.10, 0.38) if pucks else (0.3, 0.95))
+        rng, s, rink, span_range=(0.10, 0.50) if pucks else (0.3, 0.95))
     table = default_keypoint_positions()
     pts = _project(h, table)
 

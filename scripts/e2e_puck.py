@@ -7,9 +7,9 @@ natural occlusion by nearer players), runs the REAL puck pipeline
 (slicing/sahi.py: shipped hockey-puck-detection checkpoint, cross-frame
 tiled megastep, PuckTracker smoothing) and scores it:
 
-- detection recall: raw per-frame best detection within `radius` px of
-  the gt puck center, over frames where the puck is visibly drawn;
-- detection precision: fraction of emitted detections that are within
+- detection recall: the tracker's gate-selected detection within `radius`
+  px of the gt puck center, over frames where the puck is visibly drawn;
+- detection precision: fraction of accepted detections that are within
   `radius` of gt;
 - trajectory MAE: smoothed tracker position vs gt center (all frames
   where the tracker reports and the puck is in frame);
@@ -47,6 +47,9 @@ def main() -> int:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--span", type=str, default="0.25,0.45",
                    help="camera zoom span range (fraction of rink length)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="evaluate this puck checkpoint instead of the "
+                        "shipped weights (pre-ship candidate evaluation)")
     args = p.parse_args()
 
     from hockey_tpu.core.config import Config
@@ -59,7 +62,8 @@ def main() -> int:
         rng, args.imgsz, args.frames, span_range=span, include_puck=True)
 
     config = Config()
-    pipe = PuckPipeline(config, frame_hw=(args.imgsz, args.imgsz))
+    pipe = PuckPipeline(config, frame_hw=(args.imgsz, args.imgsz),
+                        checkpoint=args.checkpoint)
 
     det_tp = det_fp = vis_frames = 0
     traj_err = []
@@ -76,13 +80,14 @@ def main() -> int:
             t = k + j
             v = valid[j]
             out_boxes, out_scores = boxes[j][v], scores[j][v]
+            # the REAL tracker ingest: gated selection + smoothing (the
+            # same path PuckPipeline._annotate runs)
+            sm, idx = pipe.tracker.ingest(out_boxes, out_scores)
             center = None
-            if len(out_boxes):
-                bb = out_boxes[int(np.argmax(out_scores))]
+            if idx is not None:
+                bb = out_boxes[idx]
                 center = np.asarray([(bb[0] + bb[2]) / 2,
                                      (bb[1] + bb[3]) / 2])
-            sm = pipe.tracker.update(
-                None if center is None else tuple(center))
             gt = labels[t].get("puck_xy")
             visible = bool(labels[t].get("puck_visible"))
             det_close = (center is not None and gt is not None
