@@ -251,18 +251,25 @@ class SyntheticRinkDataset:
 
         rng = np.random.default_rng(self.seed * 99991 + idx)
         s = self.imgsz
-        # random camera: rink corners -> jittered trapezoid in the frame
+        # random camera: a WINDOW of the rink -> jittered trapezoid.
+        # Broadcast cameras rarely frame the whole rink; a model trained
+        # only on full-rink views regresses keypoints toward the memorized
+        # full-rink layout on windowed frames (measured: 88 px mean
+        # keypoint error / 16 ft homography error on span-0.82..0.95
+        # clips while full-rink PCK was 1.0 — scripts/diag_homography.py)
         d = self.rink
+        f = rng.uniform(0.55, 1.0)          # visible fraction of length
+        x0 = rng.uniform(0.0, d.length * (1.0 - f))
+        x1 = x0 + f * d.length
         rink_corners = np.asarray(
-            [[0, 0], [d.length, 0], [0, d.width], [d.length, d.width]],
-            np.float64)
-        top_y = rng.uniform(0.05, 0.25) * s
-        bot_y = rng.uniform(0.75, 0.95) * s
-        top_inset = rng.uniform(0.05, 0.2) * s
+            [[x0, 0], [x1, 0], [x0, d.width], [x1, d.width]], np.float64)
+        top_y = rng.uniform(0.03, 0.25) * s
+        bot_y = rng.uniform(0.75, 1.25) * s  # near boards may fall below
+        top_inset = rng.uniform(0.04, 0.22) * s
+        bot_outset = rng.uniform(-0.02, 0.25) * s  # ... and outside
         img_corners = np.asarray([
             [top_inset, top_y], [s - top_inset, top_y],
-            [rng.uniform(-0.15, 0.02) * s, bot_y],
-            [s - rng.uniform(-0.15, 0.02) * s, bot_y],
+            [-bot_outset, bot_y], [s + bot_outset, bot_y],
         ], np.float64)
         h = dlt_homography(rink_corners, img_corners)  # rink -> image
         pts = project(h, self.table.astype(np.float64))  # (56, 2)

@@ -192,12 +192,31 @@ def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
         # GLOVE: dark hand blob at the arm end — the densest puck false-
         # fire source on generator B (every actor carries two of them at
         # 0.85-0.93 confidence, logs/diag_puck_b); same contextual
-        # hard-negative family as the stick/skate blades
+        # hard-negative family as the stick/skate blades. Shape-randomized
+        # (circle / capsule / rotated ellipse): a circle-only negative did
+        # not transfer to B's elongated capsule mitts, which look exactly
+        # like an elongated-ellipse puck (hn retrain: B mAP 0.11 -> 0.10)
         if rng.uniform() < 0.85:
             gl = int(rng.uniform(14, 40))
-            cv2.circle(img, (int(pts[1, 0]), int(pts[1, 1])),
-                       max(int(hpx * rng.uniform(0.03, 0.055)), 1),
-                       (gl, gl, gl), -1, lineType=cv2.LINE_AA)
+            gc = (gl, gl, gl)
+            gx, gy = int(pts[1, 0]), int(pts[1, 1])
+            r = max(int(hpx * rng.uniform(0.03, 0.08)), 1)
+            shape = rng.uniform()
+            if shape < 0.35:
+                cv2.circle(img, (gx, gy), r, gc, -1, lineType=cv2.LINE_AA)
+            elif shape < 0.75:  # capsule mitt (thick round-capped line)
+                ang = rng.uniform(0, np.pi)
+                dx = np.cos(ang) * r * rng.uniform(0.8, 1.8)
+                dy = np.sin(ang) * r * rng.uniform(0.4, 1.0)
+                cv2.line(img, (int(gx - dx), int(gy - dy)),
+                         (int(gx + dx), int(gy + dy)), gc,
+                         max(2 * r, 1), lineType=cv2.LINE_AA)
+            else:  # rotated ellipse blob (the puck's own silhouette)
+                cv2.ellipse(img, (gx, gy),
+                            (max(int(r * rng.uniform(1.2, 1.8)), 1),
+                             max(int(r * rng.uniform(0.5, 0.9)), 1)),
+                            rng.uniform(0, 180), 0, 360, gc, -1,
+                            lineType=cv2.LINE_AA)
         ext.append([min(pts[0, 0], pts[1, 0]), pts[0, 1],
                     max(pts[0, 0], pts[1, 0]), pts[1, 1]])
     # head + helmet
