@@ -578,6 +578,183 @@ def render_scene_b(rng: np.random.Generator, s: int = 640,
 
 
 # ---------------------------------------------------------------------------
+# Coherent sequences (e2e OOD: tracking / teams on a never-trained renderer)
+# ---------------------------------------------------------------------------
+
+def _sample_degrade_b(rng: np.random.Generator) -> dict:
+    """Per-CLIP degradation parameters (a coherent clip must not flicker
+    its vignette/color cast/banding frame to frame). Kept separate from
+    `_degrade` so render_scene_b's per-image rng sequence — and therefore
+    every logged generator-B val number — is untouched."""
+    return {
+        "vig": rng.uniform(0.05, 0.25),
+        "warm": rng.uniform(-0.08, 0.08),
+        "band": ((rng.uniform(0.05, 0.6), rng.uniform(0, 7),
+                  rng.uniform(0.5, 3.0)) if rng.uniform() < 0.5 else None),
+        "sigma": rng.uniform(0.5, 2.5),
+        "blur": (rng.uniform(0.5, 1.4) if rng.uniform() < 0.3 else None),
+        "resample": (rng.uniform(0.6, 0.9) if rng.uniform() < 0.5
+                     else None),
+    }
+
+
+def _apply_degrade_b(img: np.ndarray, rng: np.random.Generator,
+                     p: dict) -> np.ndarray:
+    """Apply clip-constant degradation `p`; only the shot noise draws
+    from `rng` (noise SHOULD vary per frame, optics should not)."""
+    import cv2
+
+    s = img.shape[0]
+    out = img.astype(np.float32)
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    r2 = ((xx / s - 0.5) ** 2 + (yy / s - 0.5) ** 2) * 4.0
+    out *= (1.0 - p["vig"] * r2)[..., None]
+    out[..., 2] *= 1.0 + p["warm"]
+    out[..., 0] *= 1.0 - p["warm"]
+    if p["band"] is not None:
+        freq, phase, amp = p["band"]
+        out += (np.sin(np.arange(s) * freq + phase) * amp)[:, None, None]
+    out += rng.normal(0, 1, img.shape) * p["sigma"] * np.sqrt(
+        np.maximum(out, 1.0) / 64.0)
+    if p["blur"] is not None:
+        out = cv2.GaussianBlur(out, (0, 0), p["blur"])
+    if p["resample"] is not None:
+        k = p["resample"]
+        small = cv2.resize(out, (int(s * k), int(s * k)),
+                           interpolation=cv2.INTER_AREA)
+        out = cv2.resize(small, (s, s), interpolation=cv2.INTER_LINEAR)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def render_scene_sequence_b(rng: np.random.Generator, s: int = 640,
+                            n_frames: int = 96, fps: float = 30.0,
+                            zoom_range=(1.0, 2.0)):
+    """Temporally-coherent generator-B clip: fixed pinhole camera and
+    kits, actors skating smoothly. Same LABEL CONTRACT as generator A's
+    scenes.render_scene_sequence (boxes/classes/track_ids/team_ids/
+    numbers/rink_xy/camera_h), sharing none of A's rendering machinery —
+    the OOD counterpart for END-TO-END evaluation (tracking, teams)
+    rather than single-image mAP (scripts/e2e_quality.py --generator b).
+    """
+    import cv2
+
+    from ..rinkmap.dimensions import NHL
+
+    rink = NHL
+    L, W = rink.length, rink.width
+    cam = _Camera(rng, s, rink, zoom_range=zoom_range)
+    background = _background(rng, cam, rink)
+    team_a, team_b, pants_a, pants_b = _kits(rng)
+    goalie_jersey = team_a if rng.uniform() < 0.5 else (30, 150, 170)
+    degrade = _sample_degrade_b(rng)
+
+    # visible rink window: unproject frame corners onto the plane
+    corners = cam.unproject(np.asarray(
+        [[0, 0], [s, 0], [0, s], [s, s]], np.float64) * 1.0)
+    finite = np.isfinite(corners).all(axis=1)
+    if finite.any():
+        lo = float(np.clip(corners[finite, 0].min() - 5, 2, L - 10))
+        hi = float(np.clip(corners[finite, 0].max() + 5, lo + 5, L - 2))
+    else:  # degenerate horizon: whole rink
+        lo, hi = 2.0, L - 2.0
+
+    actors = []
+    n = int(rng.integers(6, 12))
+    uv = rng.uniform(0.1, 0.9, (n, 2)) * s
+    pos = cam.unproject(uv)
+    for j in range(n):
+        actors.append({
+            "px": float(np.clip(pos[j, 0], lo, hi)),
+            "py": float(np.clip(pos[j, 1], 3, W - 3)),
+            "vx": rng.uniform(-6, 6), "vy": rng.uniform(-4, 4),
+            "kind": "player", "team": int(rng.uniform() < 0.5),
+            "number": int(rng.integers(1, 99)),
+            "hjit": rng.uniform(0.94, 1.06),
+        })
+    for gx in (rink.goal_line_from_end, L - rink.goal_line_from_end):
+        if lo - 6 < gx < hi + 6:
+            actors.append({
+                "px": gx + rng.uniform(-1, 1),
+                "py": W / 2 + rng.uniform(-3, 3),
+                "vx": rng.uniform(-0.5, 0.5), "vy": rng.uniform(-1, 1),
+                "kind": "goalie", "team": 2, "number": None,
+                "hjit": rng.uniform(0.96, 1.04),
+            })
+    hscale = rng.uniform(0.88, 1.12)
+
+    frames, labels = [], []
+    for _t in range(n_frames):
+        img = background.copy()
+        order = []
+        for a in actors:
+            foot, hpx, ok = cam.standing_extent(a["px"], a["py"])
+            if not ok:
+                continue
+            order.append((float(foot[1]), a, foot, hpx))
+        order.sort(key=lambda d: d[0])  # far (small v) first
+
+        boxes, classes, tids, teams, rink_xy, numbers = ([], [], [], [],
+                                                         [], [])
+        for _, a, foot, hpx in order:
+            hpx = hpx * hscale * a["hjit"]
+            if hpx < 7 or hpx > 0.95 * s:
+                continue
+            if not (-0.3 * s < foot[0] < 1.3 * s and 0 < foot[1] < 1.25 * s):
+                continue
+            if a["kind"] == "goalie":
+                box = _draw_person_b(img, foot, hpx * 1.04, goalie_jersey,
+                                     (28, 28, 28), rng, is_goalie=True)
+                cls = 1
+            else:
+                jersey = team_a if a["team"] == 0 else team_b
+                pants = pants_a if a["team"] == 0 else pants_b
+                box = _draw_person_b(img, foot, hpx, jersey, pants, rng,
+                                     number=a["number"])
+                cls = 0
+            cb = [max(box[0], 0), max(box[1], 0),
+                  min(box[2], s), min(box[3], s)]
+            area = max(cb[2] - cb[0], 0) * max(cb[3] - cb[1], 0)
+            full = (box[2] - box[0]) * (box[3] - box[1])
+            if full <= 0 or area / full < 0.3 or area < 16:
+                continue
+            boxes.append(cb)
+            classes.append(cls)
+            tids.append(actors.index(a))
+            teams.append(a["team"])
+            rink_xy.append((a["px"], a["py"]))
+            numbers.append(-1 if a["number"] is None else a["number"])
+
+        frames.append(_apply_degrade_b(img, rng, degrade))
+        labels.append({
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "classes": np.asarray(classes, np.int32),
+            "track_ids": np.asarray(tids, np.int32),
+            "team_ids": np.asarray(teams, np.int32),
+            "rink_xy": np.asarray(rink_xy, np.float32).reshape(-1, 2),
+            "numbers": np.asarray(numbers, np.int32),
+            "camera_h": cam.H.copy(),
+        })
+
+        for a in actors:  # smooth skating, gentle drift, window bounce
+            a["px"] += a["vx"] / fps
+            a["py"] += a["vy"] / fps
+            a["vx"] += rng.normal(0, 0.25)
+            a["vy"] += rng.normal(0, 0.25)
+            sp = float(np.hypot(a["vx"], a["vy"]))
+            cap = 1.5 if a["kind"] == "goalie" else 8.0
+            if sp > cap:
+                a["vx"] *= cap / sp
+                a["vy"] *= cap / sp
+            if not (lo < a["px"] < hi):
+                a["vx"] *= -1
+                a["px"] = float(np.clip(a["px"], lo, hi))
+            if not (2 < a["py"] < W - 2):
+                a["vy"] *= -1
+                a["py"] = float(np.clip(a["py"], 2, W - 2))
+    return frames, labels
+
+
+# ---------------------------------------------------------------------------
 # Datasets (val.py --dataset hard-b / hard-puck-b / rink-b)
 # ---------------------------------------------------------------------------
 

@@ -65,7 +65,7 @@ def main() -> int:
     pipe = PuckPipeline(config, frame_hw=(args.imgsz, args.imgsz),
                         checkpoint=args.checkpoint)
 
-    det_tp = det_fp = vis_frames = 0
+    det_tp = det_fp = vis_frames = raw_tp = 0
     traj_err = []
     # per-frame records for gap-recovery analysis
     rec = []  # (visible, detected_close, tracker_close)
@@ -80,6 +80,15 @@ def main() -> int:
             t = k + j
             v = valid[j]
             out_boxes, out_scores = boxes[j][v], scores[j][v]
+            # raw detector recall (pre-gate): best detection near gt —
+            # makes the gate's recall-for-precision trade auditable
+            gt_t = labels[t].get("puck_xy")
+            if (labels[t].get("puck_visible") and len(out_boxes)
+                    and gt_t is not None):
+                bb = out_boxes[int(np.argmax(out_scores))]
+                c = np.asarray([(bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2])
+                raw_tp += int(float(np.linalg.norm(c - gt_t))
+                              <= args.radius)
             # the REAL tracker ingest: gated selection + smoothing (the
             # same path PuckPipeline._annotate runs)
             sm, idx = pipe.tracker.ingest(out_boxes, out_scores)
@@ -135,6 +144,7 @@ def main() -> int:
         "frames": len(frames),
         "visible_frames": vis_frames,
         "detection_recall": round(recall, 4),
+        "detection_recall_raw": round(raw_tp / max(vis_frames, 1), 4),
         "detection_precision": round(precision, 4),
         "trajectory_mae_px": round(float(np.mean(traj_err)), 2)
         if traj_err else None,

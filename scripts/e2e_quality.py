@@ -58,18 +58,38 @@ def main() -> int:
                         "zoom (e.g. 0.28,0.42) at --imgsz >= 960: the "
                         "OCR reads crops >= 60 px tall (the reference's "
                         "easyocr gate), which wide shots never produce")
+    p.add_argument("--generator", type=str, default="a", choices=["a", "b"],
+                   help="'b' scores the pipeline END-TO-END on the "
+                        "never-trained generator-B renderer (OOD; "
+                        "--span is ignored, B uses its pinhole zoom)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (e.g. while the TPU is "
+                        "training; env vars alone cannot override the "
+                        "axon sitecustomize)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import cv2
 
     from hockey_tpu.core.config import Config, ProcessingMode
     from hockey_tpu.pipeline import VideoProcessor
-    from hockey_tpu.train.scenes import render_scene_sequence
 
     rng = np.random.default_rng(args.seed)
-    span = tuple(float(x) for x in args.span.split(","))
-    frames, labels = render_scene_sequence(rng, args.imgsz, args.frames,
-                                           span_range=span)
+    if args.generator == "b":
+        from hockey_tpu.train.scenes_b import render_scene_sequence_b
+
+        frames, labels = render_scene_sequence_b(rng, args.imgsz,
+                                                 args.frames)
+    else:
+        from hockey_tpu.train.scenes import render_scene_sequence
+
+        span = tuple(float(x) for x in args.span.split(","))
+        frames, labels = render_scene_sequence(rng, args.imgsz, args.frames,
+                                               span_range=span)
     clip = "/tmp/e2e_quality_clip.mp4"
     w = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 30,
                         (args.imgsz, args.imgsz))
@@ -188,9 +208,12 @@ def main() -> int:
         out["number_accuracy"] = round(num_ok / max(num_total, 1), 4)
         out["numbered_actors"] = num_total
         out["number_errors"] = [[n, g] for n, g in wrong]
+    out["generator"] = args.generator
     line = json.dumps(out)
     name = ("e2e_quality.json" if mode == ProcessingMode.TEAM_CLASSIFICATION
             else "e2e_tracking.json")
+    if args.generator == "b":
+        name = name.replace(".json", "_b.json")
     print(line)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                            "logs", name), "w") as f:

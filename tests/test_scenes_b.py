@@ -87,6 +87,29 @@ class TestGeneratorB:
         pts = item["keypoints"][0, vis, :2]
         assert (pts >= 0).all() and (pts < 256).all()
 
+    def test_sequence_b_coherence(self):
+        """render_scene_sequence_b: A's label contract, stable ids,
+        smooth motion, clip-constant degradation (no optic flicker)."""
+        from hockey_tpu.train.scenes_b import render_scene_sequence_b
+
+        frames, labels = render_scene_sequence_b(
+            np.random.default_rng(3), 256, 10)
+        assert len(frames) == 10 and frames[0].shape == (256, 256, 3)
+        for k in ("boxes", "classes", "track_ids", "team_ids", "rink_xy",
+                  "numbers", "camera_h"):
+            assert k in labels[0], k
+        assert len(labels[0]["boxes"]) >= 3
+        for a, b in zip(labels, labels[1:]):
+            common = set(a["track_ids"]) & set(b["track_ids"])
+            assert common, "tracks must persist across frames"
+            for tid in common:
+                ba = a["boxes"][list(a["track_ids"]).index(tid)]
+                bb = b["boxes"][list(b["track_ids"]).index(tid)]
+                assert np.abs(ba - bb).max() < 25
+        # the camera is fixed for the whole clip
+        np.testing.assert_array_equal(labels[0]["camera_h"],
+                                      labels[-1]["camera_h"])
+
     def test_independent_from_generator_a(self):
         """Generator B must not call into generator A's renderer."""
         import ast

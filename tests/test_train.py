@@ -403,3 +403,24 @@ class TestSyntheticRinkDataset:
         b = SyntheticRinkDataset(imgsz=96, seed=1).load(5)
         np.testing.assert_array_equal(a["images"], b["images"])
         np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
+
+    def test_window_cameras(self):
+        """The camera family must include PARTIAL-rink windows: a model
+        trained only on full-rink views regresses windowed broadcast
+        frames toward the memorized layout (scripts/diag_homography.py:
+        88 px keypoint error on span-0.82..0.95 clips)."""
+        from hockey_tpu.train.data import SyntheticRinkDataset
+
+        ds = SyntheticRinkDataset(imgsz=128, seed=9)
+        vis_counts = []
+        for i in range(24):
+            item = ds.load(i)
+            vis = item["keypoints"][0, :, 2] > 0.5
+            vis_counts.append(int(vis.sum()))
+            # out-of-frame keypoints are masked invisible, never clipped
+            pts = item["keypoints"][0, vis, :2]
+            assert (pts >= 0).all() and (pts < 128).all()
+        # some views crop a meaningful share of the 56 keypoints...
+        assert min(vis_counts) < 48, vis_counts
+        # ...while the family still contains (near-)full-rink views
+        assert max(vis_counts) >= 52, vis_counts
