@@ -35,6 +35,10 @@ from .yolov8 import (
     init_params,
 )
 
+# ByteTrack low-score floor (tracking/device_tracker.py stage-2 band is
+# [BYTE_FLOOR, activation)); the fused tracking path floors its NMS here
+BYTE_FLOOR = 0.1
+
 
 class HostDetections(NamedTuple):
     """Numpy view of one frame's detections in original-frame coordinates."""
@@ -292,10 +296,23 @@ class Detector:
         det_track_ids (B, D), new TrackState). See build_detect_track_fn."""
         if self._fn_track is None:
             c = self.config
+            # ByteTrack's second stage associates LOW-score detections
+            # (0.1..track-start threshold) to existing tracks — that is
+            # the algorithm's whole idea. The reference starves it by
+            # filtering at detection_confidence BEFORE the tracker
+            # (hockey/main.py:179-192: conf=0.4 at the model call and
+            # again on detections), so a tracked player whose score dips
+            # under 0.4 for a few frames fragments into a new id. Here
+            # the fused path floors NMS at BYTE_FLOOR and keeps track
+            # INITIATION at the reference's effective threshold
+            # (max(activation, conf)): identical track starts, real
+            # low-score continuation. Measured on the OOD generator-B
+            # clip: id stability 0.22 -> see logs/e2e_quality_b.json.
             self._fn_track = build_detect_track_fn(
                 self.cfg,
                 tracker_kwargs=dict(
-                    activation_thresh=c.track_activation_threshold,
+                    activation_thresh=max(c.track_activation_threshold,
+                                          self.conf),
                     match_thresh=c.minimum_matching_threshold,
                     max_time_lost=int(c.frame_rate / 30.0
                                       * c.lost_track_buffer),
@@ -303,7 +320,7 @@ class Detector:
                 ),
                 imgsz=self.imgsz,
                 frame_hw=self.frame_hw,
-                conf=self.conf,
+                conf=min(self.conf, BYTE_FLOOR),
                 iou=c.nms_iou_threshold,
                 pre_topk=c.nms_pre_topk,
                 max_det=self.max_det,
