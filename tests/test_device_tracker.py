@@ -6,6 +6,41 @@ from hockey_tpu.tracking.device_tracker import DeviceByteTrack
 from tests.test_tracking import make_box
 
 
+class TestFusedByteTrackWiring:
+    def test_nms_floor_and_initiation_threshold(self, monkeypatch):
+        """The fused path must floor NMS at BYTE_FLOOR so ByteTrack's
+        stage-2 low-score band actually receives detections, while track
+        INITIATION stays at the reference's effective threshold
+        max(activation, detection_confidence) (COMPAT #22)."""
+        import hockey_tpu.models.detector as det_mod
+        from hockey_tpu.core.config import Config
+        from hockey_tpu.models import checkpoint as ckpt_mod
+        from hockey_tpu.models.yolov8 import MODEL_ZOO, YoloConfig
+        from hockey_tpu.tracking.device_tracker import init_state
+
+        monkeypatch.setitem(MODEL_ZOO, "hockey-player-detection",
+                            YoloConfig("n", num_classes=2))
+        monkeypatch.setattr(ckpt_mod, "shipped_weights_path",
+                            lambda name: None)
+        captured = {}
+        real = det_mod.build_detect_track_fn
+
+        def spy(cfg, *, tracker_kwargs, **kw):
+            captured["conf"] = kw["conf"]
+            captured["activation"] = tracker_kwargs["activation_thresh"]
+            return real(cfg, tracker_kwargs=tracker_kwargs, **kw)
+
+        monkeypatch.setattr(det_mod, "build_detect_track_fn", spy)
+        config = Config(nms_pre_topk=32, max_detections=8, max_tracks=16)
+        det = det_mod.Detector("hockey-player-detection", config,
+                               frame_hw=(64, 96), imgsz=64, seed=0)
+        frames = np.zeros((2, 64, 96, 3), np.uint8)
+        det.detect_track_batch(frames, init_state(16))
+        assert captured["conf"] == det_mod.BYTE_FLOOR
+        assert captured["activation"] == max(
+            config.track_activation_threshold, config.detection_confidence)
+
+
 class TestAuctionAssignment:
     def test_matches_scipy_on_tracker_matrices(self):
         """Auction == Hungarian (total benefit) on IoU-shaped matrices:
