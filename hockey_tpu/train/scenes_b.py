@@ -626,9 +626,54 @@ def _apply_degrade_b(img: np.ndarray, rng: np.random.Generator,
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def _step_puck_b(puck: dict, rng: np.random.Generator, fps: float,
+                 lo: float, hi: float, W: float) -> None:
+    """B's puck physics flavor (independent of A's pass/dwell targeting):
+    free glide with friction; when it slows under a threshold it is
+    'shot' in a fresh random direction; board bounces lose energy."""
+    puck["px"] += puck["vx"] / fps
+    puck["py"] += puck["vy"] / fps
+    puck["vx"] *= 0.99
+    puck["vy"] *= 0.99
+    if float(np.hypot(puck["vx"], puck["vy"])) < 8.0:
+        ang = rng.uniform(0, 2 * np.pi)
+        speed = rng.uniform(25.0, 70.0)
+        puck["vx"] = float(np.cos(ang) * speed)
+        puck["vy"] = float(np.sin(ang) * speed)
+    if not (lo < puck["px"] < hi):
+        puck["vx"] *= -0.85
+        puck["px"] = float(np.clip(puck["px"], lo, hi))
+    if not (2 < puck["py"] < W - 2):
+        puck["vy"] *= -0.85
+        puck["py"] = float(np.clip(puck["py"], 2, W - 2))
+
+
+def _draw_puck_b(img, cam: _Camera, puck: dict, c: np.ndarray):
+    """Draw B's shaded-disk puck at pixel `c`; returns the post-draw
+    region (y0, y1, x0, x1, patch) for later overdraw detection."""
+    import cv2
+
+    s = img.shape[0]
+    _, hpx, ok = cam.standing_extent(puck["px"], puck["py"])
+    if not ok:
+        return None
+    pr = max(hpx * 0.055, 1.8)
+    cv2.ellipse(img, (int(c[0]), int(c[1])),
+                (int(max(pr * 1.5, 2)), int(max(pr * 0.8, 1))),
+                0, 0, 360, (28, 24, 22), -1, lineType=cv2.LINE_AA)
+    cv2.ellipse(img, (int(c[0]), int(c[1] - pr * 0.35)),
+                (int(max(pr * 1.3, 1)), int(max(pr * 0.45, 1))),
+                0, 0, 360, (55, 50, 48), -1, lineType=cv2.LINE_AA)
+    rx, ry = int(max(pr * 1.5, 2)) + 1, int(max(pr * 1.0, 1)) + 1
+    y0, y1 = max(int(c[1]) - ry, 0), min(int(c[1]) + ry + 1, s)
+    x0, x1 = max(int(c[0]) - rx, 0), min(int(c[0]) + rx + 1, s)
+    return y0, y1, x0, x1, img[y0:y1, x0:x1].copy()
+
+
 def render_scene_sequence_b(rng: np.random.Generator, s: int = 640,
                             n_frames: int = 96, fps: float = 30.0,
-                            zoom_range=(1.0, 2.0)):
+                            zoom_range=(1.0, 2.0),
+                            include_puck: bool = False):
     """Temporally-coherent generator-B clip: fixed pinhole camera and
     kits, actors skating smoothly. Same LABEL CONTRACT as generator A's
     scenes.render_scene_sequence (boxes/classes/track_ids/team_ids/
@@ -682,6 +727,12 @@ def render_scene_sequence_b(rng: np.random.Generator, s: int = 640,
             })
     hscale = rng.uniform(0.88, 1.12)
 
+    puck = None
+    if include_puck:
+        puck = {"px": rng.uniform(lo + 3, hi - 3),
+                "py": rng.uniform(8, W - 8),
+                "vx": rng.uniform(-40, 40), "vy": rng.uniform(-25, 25)}
+
     frames, labels = [], []
     for _t in range(n_frames):
         img = background.copy()
@@ -693,9 +744,22 @@ def render_scene_sequence_b(rng: np.random.Generator, s: int = 640,
             order.append((float(foot[1]), a, foot, hpx))
         order.sort(key=lambda d: d[0])  # far (small v) first
 
+        puck_xy = None
+        puck_patch = None
+        drew_puck = True
+        if puck is not None:
+            pc = cam.project_plane(np.asarray([[puck["px"], puck["py"]]]))[0]
+            if 1 < pc[0] < s - 2 and 1 < pc[1] < s - 2:
+                puck_xy = pc
+                drew_puck = False
+
         boxes, classes, tids, teams, rink_xy, numbers = ([], [], [], [],
                                                          [], [])
-        for _, a, foot, hpx in order:
+        for _v, a, foot, hpx in order:
+            # puck inserted at its depth: nearer actors overdraw it
+            if not drew_puck and _v > puck_xy[1]:
+                puck_patch = _draw_puck_b(img, cam, puck, puck_xy)
+                drew_puck = True
             hpx = hpx * hscale * a["hjit"]
             if hpx < 7 or hpx > 0.95 * s:
                 continue
@@ -724,8 +788,16 @@ def render_scene_sequence_b(rng: np.random.Generator, s: int = 640,
             rink_xy.append((a["px"], a["py"]))
             numbers.append(-1 if a["number"] is None else a["number"])
 
+        if not drew_puck:  # puck nearest of all
+            puck_patch = _draw_puck_b(img, cam, puck, puck_xy)
+        puck_visible = False
+        if puck_patch is not None:
+            y0, y1, x0, x1, ref = puck_patch
+            same = (img[y0:y1, x0:x1] == ref).all(axis=2).mean()
+            puck_visible = bool(same >= 0.5)
+
         frames.append(_apply_degrade_b(img, rng, degrade))
-        labels.append({
+        lab = {
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
             "classes": np.asarray(classes, np.int32),
             "track_ids": np.asarray(tids, np.int32),
@@ -733,7 +805,14 @@ def render_scene_sequence_b(rng: np.random.Generator, s: int = 640,
             "rink_xy": np.asarray(rink_xy, np.float32).reshape(-1, 2),
             "numbers": np.asarray(numbers, np.int32),
             "camera_h": cam.H.copy(),
-        })
+        }
+        if puck is not None:
+            lab["puck_xy"] = (None if puck_xy is None
+                              else np.asarray(puck_xy, np.float32))
+            lab["puck_rink"] = np.asarray([puck["px"], puck["py"]],
+                                          np.float32)
+            lab["puck_visible"] = puck_visible
+        labels.append(lab)
 
         for a in actors:  # smooth skating, gentle drift, window bounce
             a["px"] += a["vx"] / fps
@@ -751,6 +830,8 @@ def render_scene_sequence_b(rng: np.random.Generator, s: int = 640,
             if not (2 < a["py"] < W - 2):
                 a["vy"] *= -1
                 a["py"] = float(np.clip(a["py"], 2, W - 2))
+        if puck is not None:
+            _step_puck_b(puck, rng, fps, lo, hi, W)
     return frames, labels
 
 

@@ -50,16 +50,28 @@ def main() -> int:
     p.add_argument("--checkpoint", type=str, default=None,
                    help="evaluate this puck checkpoint instead of the "
                         "shipped weights (pre-ship candidate evaluation)")
+    p.add_argument("--generator", type=str, default="a", choices=["a", "b"],
+                   help="'b' scores the puck pipeline on the never-trained "
+                        "generator-B renderer (OOD)")
     args = p.parse_args()
 
     from hockey_tpu.core.config import Config
     from hockey_tpu.slicing.sahi import PuckPipeline
-    from hockey_tpu.train.scenes import render_scene_sequence
 
-    span = tuple(float(x) for x in args.span.split(","))
     rng = np.random.default_rng(args.seed)
-    frames, labels = render_scene_sequence(
-        rng, args.imgsz, args.frames, span_range=span, include_puck=True)
+    if args.generator == "b":
+        from hockey_tpu.train.scenes_b import render_scene_sequence_b
+
+        frames, labels = render_scene_sequence_b(
+            rng, args.imgsz, args.frames, zoom_range=(2.6, 4.0),
+            include_puck=True)
+    else:
+        from hockey_tpu.train.scenes import render_scene_sequence
+
+        span = tuple(float(x) for x in args.span.split(","))
+        frames, labels = render_scene_sequence(
+            rng, args.imgsz, args.frames, span_range=span,
+            include_puck=True)
 
     config = Config()
     pipe = PuckPipeline(config, frame_hw=(args.imgsz, args.imgsz),
@@ -154,12 +166,13 @@ def main() -> int:
         "gap_recovery_frames_mean": round(float(np.mean(recoveries)), 2)
         if recoveries else 0.0,
         "imgsz": args.imgsz,
+        "generator": args.generator,
         "radius_px": args.radius,
     }
     line = json.dumps(out)
     print(line)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "logs", "e2e_puck.json"), "w") as f:
+                           "logs", "e2e_puck.json" if args.generator == "a" else "e2e_puck_b.json"), "w") as f:
         f.write(line + "\n")
     return 0
 
