@@ -62,6 +62,9 @@ def main() -> int:
     p.add_argument("--rink-checkpoint", type=str, default=None,
                    help="evaluate this rink-pose checkpoint instead of the "
                         "shipped weights (pre-ship candidate evaluation)")
+    p.add_argument("--generator", type=str, default="a", choices=["a", "b"],
+                   help="'b' scores calibration on the never-trained "
+                        "generator-B renderer (OOD; --span ignored)")
     args = p.parse_args()
 
     import cv2
@@ -69,14 +72,27 @@ def main() -> int:
     from hockey_tpu.core.config import Config, ProcessingMode
     from hockey_tpu.homography.ransac import project
     from hockey_tpu.pipeline import VideoProcessor
-    from hockey_tpu.train.scenes import render_scene_sequence
 
-    span = tuple(float(x) for x in args.span.split(","))
     rng = np.random.default_rng(args.seed)
-    seg_a = render_scene_sequence(rng, args.imgsz, args.frames,
-                                  span_range=span)
-    seg_b = render_scene_sequence(rng, args.imgsz, args.frames,
-                                  span_range=span)  # fresh camera => cut
+    if args.generator == "b":
+        from hockey_tpu.train.scenes_b import render_scene_sequence_b
+
+        def render(r):
+            # near-full-rink pinhole views (the pose model's deployment
+            # family); B's zoom 0.9-1.3 ≈ A's span 0.8-0.95
+            return render_scene_sequence_b(r, args.imgsz, args.frames,
+                                           zoom_range=(0.9, 1.3))
+
+        seg_a = render(rng)
+        seg_b = render(rng)  # fresh camera => cut
+    else:
+        from hockey_tpu.train.scenes import render_scene_sequence
+
+        span = tuple(float(x) for x in args.span.split(","))
+        seg_a = render_scene_sequence(rng, args.imgsz, args.frames,
+                                      span_range=span)
+        seg_b = render_scene_sequence(rng, args.imgsz, args.frames,
+                                      span_range=span)  # fresh camera => cut
     frames = seg_a[0] + seg_b[0]
     labels = seg_a[1] + seg_b[1]
     cut_at = len(seg_a[0])
@@ -152,11 +168,12 @@ def main() -> int:
         if pre_cut else None,
         "post_cut_err_ft": round(float(np.mean(post)), 2) if post else None,
         "cut_recovery_frames": recover,
+        "generator": args.generator,
     }
     line = json.dumps(out)
     print(line)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "logs", "e2e_homography.json"), "w") as f:
+                           "logs", "e2e_homography.json" if args.generator == "a" else "e2e_homography_b.json"), "w") as f:
         f.write(line + "\n")
     return 0
 
