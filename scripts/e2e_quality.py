@@ -108,6 +108,8 @@ def main() -> int:
         proc.initialize_team_classifier(clip)
 
     tp = fp = fn = 0
+    matched_ious = []  # IoU of every matched pair: quantifies gt box-
+    # extent convention mismatch (generator B draws looser extents)
     # per gt actor: predicted ids seen (for stability), team votes
     id_seen: dict = {}
     team_votes: dict = {}   # (gt_team -> predicted-team counts)
@@ -135,6 +137,7 @@ def main() -> int:
             if m[i, j] >= 0.5 and j not in taken:
                 taken.add(j)
                 matched_pred.add(int(i))
+                matched_ious.append(float(m[i, j]))
                 actor = int(gt["track_ids"][j])
                 id_seen.setdefault(actor, []).append(int(tids[i]))
                 if "numbers" in gt and gt["numbers"][j] >= 1:
@@ -182,6 +185,8 @@ def main() -> int:
         "id_stability": round(id_stability, 4),
         "id_switches": switches,
         "actors": len(id_seen),
+        "matched_iou_mean": round(float(np.mean(matched_ious)), 4)
+        if matched_ious else None,
     }
     if mode == ProcessingMode.TEAM_CLASSIFICATION:
         out["team_accuracy"] = round(team_acc, 4)
