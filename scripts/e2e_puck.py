@@ -53,7 +53,15 @@ def main() -> int:
     p.add_argument("--generator", type=str, default="a", choices=["a", "b"],
                    help="'b' scores the puck pipeline on the never-trained "
                         "generator-B renderer (OOD)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env vars alone cannot "
+                        "override the axon sitecustomize)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from hockey_tpu.core.config import Config
     from hockey_tpu.slicing.sahi import PuckPipeline
