@@ -46,11 +46,12 @@ class Config:
 
     # --- Detection (reference main.py:28-29).
     detection_imgsz: int = 1280
-    # rink pose model inference resolution — its own knob because the
-    # shipped checkpoint is trained at 512 and CNN keypoint accuracy does
-    # not survive a 2.5x scale shift (measured: PCK 0.99 at 512 vs 0.08
-    # when run at the player model's 1280)
-    rink_imgsz: int = 512
+    # rink pose model inference resolution — its own knob because CNN
+    # keypoint accuracy does not survive a large scale shift from the
+    # checkpoint's training resolution (measured: PCK 0.99 at train-res
+    # vs 0.08 when run at the player model's 1280). The shipped
+    # window-camera checkpoint is trained at 384 (STATUS round-3).
+    rink_imgsz: int = 384
     detection_confidence: float = 0.4
 
     # --- Tracking (reference main.py:32-36).
