@@ -1,15 +1,35 @@
 """Benchmark: 1080p detection + end-to-end pipeline throughput per chip.
 
-Two measurements, one JSON line:
+Un-losable by construction (round-3 lesson: one hung stage against a dead
+TPU tunnel forfeited every metric, BENCH_r03.json rc=124/parsed=null):
 
-1. `value` (primary, comparable across rounds): the flagship megastep
-   (letterbox -> YOLOv8x @1280 -> DFL decode -> on-device NMS, the
-   reference's runtime configuration: hockey/main.py:28-29) on synthetic
-   1080p frames, frames/sec/chip.
-2. `e2e_pipeline_fps`: the REAL pipeline (decode -> megastep with fused
-   team features -> ByteTrack -> team vote -> annotate) in
-   TEAM_CLASSIFICATION mode on a generated 1080p clip, with per-stage
-   milliseconds in `e2e_stage_ms`.
+- Every sub-bench runs in its OWN subprocess under its own time budget;
+  a hang or crash in one stage cannot take down the others.
+- A cumulative JSON line (detect metric first) is printed to stdout after
+  EVERY stage, and mirrored to logs/bench_partial.json — whatever line is
+  last when a driver-level timeout strikes is valid and carries every
+  metric measured so far. Stage stderr goes to logs/bench_stage_*.log,
+  never stdout, so the last stdout line is always the JSON.
+- A cheap tunnel probe (tiny matmul, hard sync) runs first; if the axon
+  tunnel is dead this is detected in <= ~4 min and the TPU stages are
+  skipped with "error": "tpu_unavailable" instead of hanging 25 min.
+- The rendered benchmark content (hard 1080p clips) is cached under
+  .bench_cache/ so host rendering cost is paid once, not per run.
+- Stages write their result file incrementally (after each batch size /
+  milestone), so even a stage killed at its budget leaves partial numbers.
+
+Measurements (same metrics as rounds 1-3, comparable across rounds):
+
+1. `value` (primary): the flagship megastep (letterbox -> YOLOv8x @1280 ->
+   DFL decode -> on-device NMS, the reference's runtime configuration:
+   hockey/main.py:28-29) on hard synthetic 1080p frames, frames/sec/chip.
+2. `e2e_pipeline_fps` / `e2e_compute_fps`: the REAL pipeline (decode ->
+   megastep with fused team features -> ByteTrack -> team vote ->
+   annotate) in TEAM_CLASSIFICATION mode on a 1080p clip.
+3. `puck_fps`: PUCK_DETECTION cross-frame tiled megastep (K frames x T
+   640-tiles in one program, slicing/sahi.py).
+4. `dual_fps`: player@1280 + rink-pose + team features (--show-2d-map
+   program, models/dual.py).
 
 Baseline derivation (vs_baseline): the reference publishes no end-to-end
 number (BASELINE.md). Its only measured datum is the detector at
@@ -29,17 +49,130 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-import numpy as np
 
 BASELINE_FPS = 1000.0 / (4 * (0.4 + 4.1 + 0.6))  # ≈ 49.0 (see docstring)
 E2E_FRAMES = 192  # steady-state frames timed in the pipeline benchmark
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
+LOGS = os.path.join(REPO, "logs")
+
+# Per-stage wall budgets (seconds). The parent also enforces a global
+# deadline (HOCKEY_BENCH_BUDGET, default 1500 s) and shrinks/skips the
+# later stages to fit it.
+STAGE_BUDGET = {
+    "probe": 270,
+    "prep": 420,
+    "detect": 700,
+    "e2e": 700,
+    "puck": 450,
+    "dual": 700,
+}
 
 
-def bench_detect() -> float:
-    """Detect-only megastep sweep; returns best fps."""
+def _write_out(path: str, obj: dict) -> None:
+    """Atomic incremental result write so a killed stage leaves data."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# Stage bodies (each runs in its own subprocess: `bench.py --stage X --out F`)
+# ---------------------------------------------------------------------------
+
+
+def stage_probe(out: str) -> None:
+    """Tunnel liveness: devices + tiny matmul with a HARD sync.
+
+    On the axon tunnel `jax.block_until_ready` returns early; only
+    np.asarray truly waits (CLAUDE.md), so the matmul round-trip is the
+    real liveness signal.
+    """
+    import numpy as np
+
+    t0 = time.perf_counter()
+    import jax
     import jax.numpy as jnp
+
+    devs = jax.devices()
+    x = jnp.ones((128, 128), jnp.bfloat16)
+    v = float(np.asarray(x @ x)[0, 0])
+    assert v == 128.0, v
+    _write_out(out, {
+        "ok": True,
+        "platform": devs[0].platform,
+        "n_devices": len(devs),
+        "roundtrip_s": round(time.perf_counter() - t0, 1),
+    })
+
+
+def stage_prep(out: str) -> None:
+    """Render + cache the benchmark content (host-only, forced CPU jax).
+
+    Content is the coherent broadcast-like scene renderer
+    (train/scenes.py — ~10-14 actors, perspective camera, crowd/boards
+    clutter, occlusions), NOT flat noise: NMS occupancy, decode tails and
+    host-stage cost depend on realistic content.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # env vars don't work here
+    import numpy as np
+
+    from hockey_tpu.train.scenes import render_scene_sequence
+
+    os.makedirs(CACHE, exist_ok=True)
+    done = {}
+
+    hard_npz = os.path.join(CACHE, "hard32.npz")
+    if not os.path.exists(hard_npz):
+        frames, _ = render_scene_sequence(np.random.default_rng(42), 1080,
+                                          32, width=1920)
+        np.savez_compressed(hard_npz, frames=np.stack(frames))
+    done["hard32"] = True
+    _write_out(out, done)
+
+    clip = os.path.join(CACHE, f"clip{E2E_FRAMES}.mp4")
+    if not os.path.exists(clip):
+        import cv2
+
+        frames, _ = render_scene_sequence(np.random.default_rng(42), 1080,
+                                          E2E_FRAMES, width=1920)
+        w = cv2.VideoWriter(clip + ".tmp.mp4",
+                            cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                            (1920, 1080))
+        for f in frames:
+            w.write(f)
+        w.release()
+        os.replace(clip + ".tmp.mp4", clip)
+    done["clip"] = True
+    _write_out(out, done)
+
+    puck_npz = os.path.join(CACHE, "puck16.npz")
+    if not os.path.exists(puck_npz):
+        frames, _ = render_scene_sequence(np.random.default_rng(7), 1080,
+                                          16, width=1920,
+                                          span_range=(0.25, 0.45),
+                                          include_puck=True)
+        np.savez_compressed(puck_npz, frames=np.stack(frames))
+    done["puck16"] = True
+    _write_out(out, done)
+
+
+def _load_hard32():
+    import numpy as np
+
+    return np.load(os.path.join(CACHE, "hard32.npz"))["frames"]
+
+
+def stage_detect(out: str) -> None:
+    """Detect-only megastep sweep; writes best fps after EVERY batch."""
+    import jax.numpy as jnp
+    import numpy as np
 
     from hockey_tpu.core.config import Config
     from hockey_tpu.models.detector import build_detect_fn
@@ -50,7 +183,7 @@ def bench_detect() -> float:
     cfg = MODEL_ZOO["hockey-player-detection"]
     # the SHIPPED trained checkpoint (identical FLOPs to random init, but
     # NMS occupancy and the team-feature tail depend on real content +
-    # real weights; round-2 review asked for the shipped pipeline's rate)
+    # real weights)
     try:
         from hockey_tpu.models.checkpoint import (
             load_params,
@@ -62,16 +195,9 @@ def bench_detect() -> float:
     except Exception:
         params = fuse_for_inference(init_params(cfg, seed=0))
 
-    rng = np.random.default_rng(0)
-    # real broadcast-like content (not noise): NMS occupancy and decode
-    # tails depend on what is actually detected
-    from hockey_tpu.train.scenes import render_scene_sequence
-
-    hard, _ = render_scene_sequence(np.random.default_rng(42), 1080, 32,
-                                    width=1920)
-    hard = np.stack(hard)
-    best_fps = 0.0
-    # batch 128 is the measured sweet spot on v5e (226 fps, ~70% MFU of
+    hard = _load_hard32()
+    res = {"fps": 0.0, "per_batch": {}}
+    # batch 128 is the measured sweet spot on v5e (227 fps, ~70% MFU of
     # XLA's own flop estimate); 160/192 tile worse and regress
     for batch in (32, 64, 128):
         fn = build_detect_fn(
@@ -85,54 +211,42 @@ def bench_detect() -> float:
         )
         frames = jnp.asarray(
             np.tile(hard, (max(batch // 32, 1), 1, 1, 1))[:batch])
-        # warmup incl. compile; np.asarray forces real completion (the axon
-        # platform's block_until_ready returns early, and queuing multiple
-        # in-flight executions deadlocks the tunnel — so sync per call)
+        # warmup incl. compile; np.asarray forces real completion (axon
+        # block_until_ready returns early; queuing multiple in-flight
+        # executions deadlocks the tunnel — sync per call)
         try:
             for _ in range(2):
                 _ = np.asarray(fn(params, frames).boxes)
-        except Exception:
-            break  # batch too large for this chip's HBM; keep best so far
+        except Exception as e:
+            res["per_batch"][str(batch)] = f"{type(e).__name__}"
+            _write_out(out, res)
+            break  # batch too large for HBM; keep best so far
         n_iter = max(4, int(128 // batch))
         t0 = time.perf_counter()
         for _ in range(n_iter):
             _ = np.asarray(fn(params, frames).boxes)
         dt = time.perf_counter() - t0
-        best_fps = max(best_fps, batch * n_iter / dt)
-    return best_fps
+        fps = batch * n_iter / dt
+        res["per_batch"][str(batch)] = round(fps, 2)
+        res["fps"] = max(res["fps"], fps)
+        _write_out(out, res)  # survive a budget kill mid-sweep
 
 
-def _make_clip(path: str, n_frames: int) -> None:
-    """True-1080p HARD benchmark clip: the coherent broadcast-like scene
-    renderer (train/scenes.py — ~10-14 actors, perspective camera, crowd
-    and boards clutter, occlusions) instead of the round-1/2 flat-ice
-    rectangles, so host-stage cost reflects realistic track counts."""
-    import cv2
+def stage_e2e(out: str) -> None:
+    """Real TEAM_CLASSIFICATION pipeline on the cached 1080p clip; fps +
+    per-stage ms/frame (steady state: classifier init and first compile
+    excluded via explicit warmup)."""
+    import numpy as np
 
-    from hockey_tpu.train.scenes import render_scene_sequence
-
-    rng = np.random.default_rng(42)
-    frames, _ = render_scene_sequence(rng, 1080, n_frames, width=1920)
-    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
-                        (1920, 1080))
-    for f in frames:
-        w.write(f)
-    w.release()
-
-
-def bench_pipeline(tmpdir: str) -> dict:
-    """Real TEAM_CLASSIFICATION pipeline on a 1080p clip; returns fps and
-    per-stage ms/frame (steady state: classifier init and the first
-    compile are excluded via explicit warmup)."""
     import hockey_tpu.pipeline as pl
     from hockey_tpu.core.config import Config, ProcessingMode
     from hockey_tpu.pipeline import VideoProcessor
 
-    clip = os.path.join(tmpdir, "bench_clip.mp4")
-    _make_clip(clip, E2E_FRAMES)
+    clip = os.path.join(CACHE, f"clip{E2E_FRAMES}.mp4")
 
     config = Config()
-    p = VideoProcessor(config=config, mode=ProcessingMode.TEAM_CLASSIFICATION,
+    p = VideoProcessor(config=config,
+                       mode=ProcessingMode.TEAM_CLASSIFICATION,
                        frame_hw=(1080, 1920), team_names=("HOME", "AWAY"))
     os.environ["HOCKEY_TPU_HEADLESS"] = "1"
     p.initialize_team_classifier(clip)
@@ -142,12 +256,12 @@ def bench_pipeline(tmpdir: str) -> dict:
     b = config.resolved_frame_batch()
     warm = np.zeros((b, 1080, 1920, 3), np.uint8)
     if p.use_fused_tracker:
-        out = p.player_detector.detect_track_batch(warm, p.tracker.state)
-        _ = np.asarray(out[0].boxes)
+        o = p.player_detector.detect_track_batch(warm, p.tracker.state)
+        _ = np.asarray(o[0].boxes)
         p.tracker.reset()
     else:
-        out = p.player_detector.detect_batch(warm)
-        _ = np.asarray((out[0] if isinstance(out, tuple) else out).boxes)
+        o = p.player_detector.detect_batch(warm)
+        _ = np.asarray((o[0] if isinstance(o, tuple) else o).boxes)
 
     p.timers.reset()
     t0 = time.perf_counter()
@@ -159,15 +273,15 @@ def bench_pipeline(tmpdir: str) -> dict:
     stage_ms = {k: round(v["total_s"] * 1000.0 / max(n, 1), 2)
                 for k, v in summary.items()
                 if k != "counters" and isinstance(v, dict) and "total_s" in v}
-    out = {"fps": n / dt, "frames": n, "stage_ms": stage_ms,
+    res = {"fps": round(n / dt, 2), "frames": n, "stage_ms": stage_ms,
            "frame_batch": b}
+    _write_out(out, res)
 
     # compute-bound e2e: the dev tunnel moves host->device pixels at only
     # ~35 MB/s (measured), which caps full-res 1080p feeds at ~6 fps — a
-    # co-located production host (PCIe, tens of GB/s) does not have this
-    # wall. Stage one batch of real frames on device once and run the same
-    # fused program + host stages repeatedly: that is the per-chip
-    # pipeline rate when ingest is local.
+    # co-located production host (PCIe) does not have this wall. Stage one
+    # batch of real frames on device once and rerun the fused program +
+    # host stages: the per-chip pipeline rate when ingest is local.
     if p.use_fused_tracker:
         import jax.numpy as jnp
 
@@ -180,34 +294,30 @@ def bench_pipeline(tmpdir: str) -> dict:
         reps = max(E2E_FRAMES // b, 1)
         t0 = time.perf_counter()
         for _ in range(reps):
-            res = p.player_detector.detect_track_batch(dev, p.tracker.state)
-            p.tracker.state = res[-1]
-            rows = pl.unpack_tracked(res)
+            r = p.player_detector.detect_track_batch(dev, p.tracker.state)
+            p.tracker.state = r[-1]
+            rows = pl.unpack_tracked(r)
             for i in range(b):
                 p.process_frame(frames[i], pretracked=rows[i][:4],
                                 team_feats=rows[i][4])
-        out["compute_fps"] = reps * b / (time.perf_counter() - t0)
-    return out
+        res["compute_fps"] = round(reps * b / (time.perf_counter() - t0), 2)
+        _write_out(out, res)
 
 
-def bench_puck() -> float:
+def stage_puck(out: str) -> None:
     """PUCK_DETECTION cross-frame tiled megastep: K 1080p frames x T
     overlapping 640-tiles through one forward + one merge program
-    (slicing/sahi.py detect_frames); frames staged in HBM once (the dev
-    tunnel's ~35 MB/s host link is environmental, see STATUS roofline)."""
+    (slicing/sahi.py detect_frames); frames staged in HBM once."""
     import jax.numpy as jnp
+    import numpy as np
 
     from hockey_tpu.core.config import Config
     from hockey_tpu.slicing.sahi import PuckPipeline
-    from hockey_tpu.train.scenes import render_scene_sequence
 
     k = 16
     pipe = PuckPipeline(Config(), frame_hw=(1080, 1920))
-    rng = np.random.default_rng(7)
-    frames, _ = render_scene_sequence(rng, 1080, k, width=1920,
-                                      span_range=(0.25, 0.45),
-                                      include_puck=True)
-    dev = jnp.asarray(np.stack(frames))
+    frames = np.load(os.path.join(CACHE, "puck16.npz"))["frames"][:k]
+    dev = jnp.asarray(frames)
     _ = np.asarray(dev[0, 0, 0, 0])
     for _ in range(2):  # compile + warm
         pipe.sliced.detect_frames(dev)
@@ -215,26 +325,22 @@ def bench_puck() -> float:
     t0 = time.perf_counter()
     for _ in range(reps):
         pipe.sliced.detect_frames(dev)
-    return reps * k / (time.perf_counter() - t0)
+    _write_out(out, {"fps": round(reps * k / (time.perf_counter() - t0), 2)})
 
 
-def bench_dual() -> dict:
-    """Dual (player@1280 + rink-pose@512 + team features) megastep — the
-    --show-2d-map device program (models/dual.py). Reports fps and compile
-    seconds per batch size; the round-2 x-scale rink model cost ~20 min of
-    XLA compile at batch 128 (pipeline caps the dual path), the round-3
-    s-scale model is 6x smaller — this records whether the cap can rise."""
+def stage_dual(out: str) -> None:
+    """Dual (player@1280 + rink-pose + team features) megastep — the
+    --show-2d-map device program (models/dual.py). Reports fps + compile
+    seconds per batch size."""
     import jax.numpy as jnp
+    import numpy as np
 
     from hockey_tpu.core.config import Config
     from hockey_tpu.models.dual import DualDetector
-    from hockey_tpu.train.scenes import render_scene_sequence
 
     det = DualDetector(Config(), frame_hw=(1080, 1920))
-    hard, _ = render_scene_sequence(np.random.default_rng(42), 1080, 32,
-                                    width=1920)
-    hard = np.stack(hard)
-    out = {"fps": 0.0, "compile_s": {}}
+    hard = _load_hard32()
+    res = {"fps": 0.0, "compile_s": {}}
     for batch in (32, 64):
         frames = jnp.asarray(
             np.tile(hard, (max(batch // 32, 1), 1, 1, 1))[:batch])
@@ -242,52 +348,143 @@ def bench_dual() -> dict:
         try:
             t0 = time.perf_counter()
             _ = det.detect_batch(frames)  # syncs via np.asarray internally
-            out["compile_s"][str(batch)] = round(time.perf_counter() - t0, 1)
+            res["compile_s"][str(batch)] = round(time.perf_counter() - t0, 1)
+            _write_out(out, res)
             _ = det.detect_batch(frames)  # warm
             n_iter = max(2, int(64 // batch))
             t0 = time.perf_counter()
             for _ in range(n_iter):
                 _ = det.detect_batch(frames)
-            out["fps"] = max(out["fps"], batch * n_iter
-                             / (time.perf_counter() - t0))
+            res["fps"] = max(res["fps"],
+                             round(batch * n_iter
+                                   / (time.perf_counter() - t0), 2))
+            _write_out(out, res)
         except Exception as e:
-            out["compile_s"][str(batch)] = f"{type(e).__name__}"
+            res["compile_s"][str(batch)] = f"{type(e).__name__}"
+            _write_out(out, res)
             break
-    return out
 
 
-def main() -> None:
-    detect_fps = bench_detect()
+STAGES = {
+    "probe": stage_probe,
+    "prep": stage_prep,
+    "detect": stage_detect,
+    "e2e": stage_e2e,
+    "puck": stage_puck,
+    "dual": stage_dual,
+}
 
-    import tempfile
 
-    with tempfile.TemporaryDirectory() as td:
-        try:
-            e2e = bench_pipeline(td)
-        except Exception as e:  # never lose the primary metric
-            e2e = {"fps": 0.0, "error": f"{type(e).__name__}: {e}"}
-    try:
-        puck_fps = bench_puck()
-    except Exception:
-        puck_fps = 0.0
-    try:
-        dual = bench_dual()
-    except Exception:
-        dual = {"fps": 0.0, "compile_s": {}}
+# ---------------------------------------------------------------------------
+# Parent orchestrator (no jax import here — stdout carries ONLY JSON lines)
+# ---------------------------------------------------------------------------
 
-    print(json.dumps({
+
+def _emit(results: dict) -> None:
+    """Print the cumulative JSON line + mirror it to logs/."""
+    detect = results.get("detect") or {}
+    e2e = results.get("e2e") or {}
+    puck = results.get("puck") or {}
+    dual = results.get("dual") or {}
+    fps = float(detect.get("fps", 0.0) or 0.0)
+    line = {
         "metric": "e2e_1080p_detect_fps_per_chip",
-        "value": round(detect_fps, 2),
+        "value": round(fps, 2),
         "unit": "frames/sec/chip (YOLOv8x @1280 incl. device NMS)",
-        "vs_baseline": round(detect_fps / BASELINE_FPS, 2),
-        "e2e_pipeline_fps": round(e2e.get("fps", 0.0), 2),
-        "e2e_compute_fps": round(e2e.get("compute_fps", 0.0), 2),
-        "puck_fps": round(puck_fps, 2),
-        "dual_fps": round(dual.get("fps", 0.0), 2),
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "e2e_pipeline_fps": e2e.get("fps", 0.0),
+        "e2e_compute_fps": e2e.get("compute_fps", 0.0),
+        "puck_fps": puck.get("fps", 0.0),
+        "dual_fps": dual.get("fps", 0.0),
         "dual_compile_s": dual.get("compile_s", {}),
         "e2e_detail": {k: v for k, v in e2e.items()
                        if k not in ("fps", "compute_fps")},
-    }))
+        "detect_per_batch": detect.get("per_batch", {}),
+        "stages": results.get("_status", {}),
+    }
+    if results.get("_error"):
+        line["error"] = results["_error"]
+    print(json.dumps(line), flush=True)
+    try:
+        os.makedirs(LOGS, exist_ok=True)
+        _write_out(os.path.join(LOGS, "bench_partial.json"), line)
+    except OSError:
+        pass
+
+
+def _run_stage(name: str, budget: float, results: dict) -> dict | None:
+    """Run one stage in a subprocess under `budget` seconds; stderr+stdout
+    go to logs/bench_stage_<name>.log so bench stdout stays JSON-only."""
+    os.makedirs(LOGS, exist_ok=True)
+    outf = os.path.join(CACHE, f"stage_{name}.json")
+    os.makedirs(CACHE, exist_ok=True)
+    if os.path.exists(outf):
+        os.remove(outf)
+    logf = os.path.join(LOGS, f"bench_stage_{name}.log")
+    t0 = time.perf_counter()
+    with open(logf, "w") as lf:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--stage", name, "--out", outf],
+                stdout=lf, stderr=subprocess.STDOUT, timeout=budget,
+                cwd=REPO)
+            status = "ok" if proc.returncode == 0 else f"rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            status = "timeout"
+    dt = round(time.perf_counter() - t0, 1)
+    results.setdefault("_status", {})[name] = {"s": dt, "status": status}
+    if os.path.exists(outf):  # partial results survive kills
+        try:
+            with open(outf) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+    return None
+
+
+def main() -> None:
+    if "--stage" in sys.argv:
+        i = sys.argv.index("--stage")
+        name = sys.argv[i + 1]
+        out = sys.argv[sys.argv.index("--out") + 1]
+        STAGES[name](out)
+        return
+
+    deadline = time.monotonic() + float(
+        os.environ.get("HOCKEY_BENCH_BUDGET", "1500"))
+    results: dict = {}
+
+    def remaining() -> float:
+        return deadline - time.monotonic()
+
+    # 1. content prep (CPU-only; cheap after first run thanks to the cache)
+    prep = _run_stage("prep", min(STAGE_BUDGET["prep"],
+                                  max(remaining() - 120, 60)), results)
+    if not prep:
+        results["_error"] = "prep_failed"
+        _emit(results)
+        return
+
+    # 2. tunnel probe — if the TPU is unreachable, say so fast and stop
+    probe = _run_stage("probe", min(STAGE_BUDGET["probe"],
+                                    max(remaining() - 60, 60)), results)
+    if not probe or not probe.get("ok"):
+        results["_error"] = "tpu_unavailable"
+        _emit(results)
+        return
+    results["probe"] = probe
+    _emit(results)
+
+    # 3. TPU stages, primary metric first; each emits cumulatively
+    for name in ("detect", "e2e", "puck", "dual"):
+        if remaining() < 120:
+            results.setdefault("_status", {})[name] = {
+                "s": 0, "status": "skipped_budget"}
+            continue
+        budget = min(STAGE_BUDGET[name], remaining() - 30)
+        results[name] = _run_stage(name, budget, results)
+        _emit(results)
 
 
 if __name__ == "__main__":
