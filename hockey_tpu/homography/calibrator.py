@@ -30,7 +30,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..rinkmap.dimensions import default_keypoint_positions
-from .ransac import homography_from_keypoints, ransac_homography
+from .ransac import fit_homography_tiered
 from .stabilizer import HomographyStabilizer
 
 
@@ -73,10 +73,13 @@ class CalibratorState:
     """Headless calibration engine; the UI is just an event source."""
 
     def __init__(self, frame_hw: Tuple[int, int] = (1080, 1920),
-                 keypoint_table: Optional[np.ndarray] = None):
+                 keypoint_table: Optional[np.ndarray] = None,
+                 coarse_max_error_ft: float = 12.0):
         self.frame_hw = frame_hw
         self.table = (keypoint_table if keypoint_table is not None
                       else default_keypoint_positions())
+        # coarse-tier fallback gate in rink ft; 0 disables (COMPAT #25)
+        self.coarse_max_error_ft = coarse_max_error_ft
         self.manual_points: Dict[int, Tuple[float, float]] = {}
         self.detected_keypoints: List = []
         self.stabilizer = HomographyStabilizer(frame_hw=frame_hw)
@@ -87,6 +90,7 @@ class CalibratorState:
         self.selected: Optional[int] = None
         self.status = ""
         self.last_quality = None  # HomographyQuality of the last RANSAC fit
+        self.last_tier: Optional[str] = None  # 'fine' | 'coarse' | None
 
     # -- keypoint editing ------------------------------------------------
     def select_near(self, x: float, y: float, radius: float = 20.0) -> Optional[int]:
@@ -127,19 +131,32 @@ class CalibratorState:
             dst.append(self.table[kp.id])
         return np.asarray(src, np.float64), np.asarray(dst, np.float64)
 
-    def recalculate(self) -> Optional[np.ndarray]:
+    def _fit_and_update(self, set_status: bool) -> Optional[np.ndarray]:
+        """Tiered RANSAC fit over the effective correspondences, fed into
+        the stabilizer. Fine fits (3-ft gate) are authoritative; coarse
+        fits (<= coarse_max_error_ft) keep the 2D map alive when keypoint
+        quality is degraded (COMPAT #25)."""
         src, dst = self.effective_correspondences()
         if len(src) < 4:
-            self.status = f"Need >= 4 points ({len(src)} available)"
+            if set_status:
+                self.status = f"Need >= 4 points ({len(src)} available)"
             return self.stabilizer.current
-        h, quality = ransac_homography(src, dst)
+        h, quality, tier = fit_homography_tiered(
+            src, dst, coarse_threshold=self.coarse_max_error_ft)
         self.last_quality = quality  # exported via --json-metrics gauges
-        if h is None or not quality.is_valid(min_points=4):
-            self.status = "Calibration rejected (low quality)"
+        self.last_tier = tier
+        if h is None:
+            if set_status:
+                self.status = "Calibration rejected (low quality)"
             return self.stabilizer.current
-        self.status = (f"OK: {quality.inlier_ratio:.0%} inliers, "
-                       f"err {quality.mean_reprojection_error:.2f} ft")
-        return self.stabilizer.update(h)
+        if set_status:
+            self.status = (f"OK ({tier}): {quality.inlier_ratio:.0%} "
+                           f"inliers, err "
+                           f"{quality.mean_reprojection_error:.2f} ft")
+        return self.stabilizer.update(h, tier=tier)
+
+    def recalculate(self) -> Optional[np.ndarray]:
+        return self._fit_and_update(set_status=True)
 
     def process_frame(self, frame: np.ndarray, keypoints: List) -> Optional[np.ndarray]:
         """Per-frame: refresh detections, auto-recalculate on camera motion
@@ -153,8 +170,9 @@ class CalibratorState:
         elif self.stabilizer.current is None:
             self.recalculate()
         else:
-            h = homography_from_keypoints(keypoints, self.table)
-            self.stabilizer.update(h)
+            # steady state: same tiered fit, quieter status churn; manual
+            # overrides apply here too (they are user ground truth)
+            self._fit_and_update(set_status=False)
         return self.stabilizer.current
 
     # -- segments ---------------------------------------------------------

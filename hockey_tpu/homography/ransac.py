@@ -164,6 +164,37 @@ def ransac_homography(
     return h, quality
 
 
+def fit_homography_tiered(
+    src: np.ndarray,
+    dst: np.ndarray,
+    fine_threshold: float = 3.0,
+    coarse_threshold: float = 12.0,
+    seed: int = 0,
+) -> Tuple[Optional[np.ndarray], Optional[HomographyQuality], Optional[str]]:
+    """Two-tier RANSAC fit: try the strict gate first ('fine',
+    reprojection <= `fine_threshold` ft), then fall back to a provisional
+    'coarse' fit gated at `coarse_threshold` ft.
+
+    Rationale (COMPAT #25): the documented pipeline
+    (/root/reference/README.md:74-81) validates homographies before use,
+    but an all-or-nothing 3-ft gate turns the 2D map OFF entirely whenever
+    keypoint quality is degraded (imperfect model, motion blur, partial
+    views). A clearly-flagged coarse calibration keeps the capability
+    alive at reduced accuracy; fine fits always take precedence
+    (HomographyStabilizer tier rules). Pass coarse_threshold=0 to disable
+    the fallback."""
+    h, q = ransac_homography(src, dst, threshold=fine_threshold, seed=seed)
+    if h is not None and q.is_valid(max_error=fine_threshold, min_points=4):
+        return h, q, "fine"
+    if coarse_threshold and coarse_threshold > fine_threshold:
+        h, q = ransac_homography(src, dst, threshold=coarse_threshold,
+                                 seed=seed)
+        if h is not None and q.is_valid(max_error=coarse_threshold,
+                                        min_points=4):
+            return h, q, "coarse"
+    return None, q, None
+
+
 def homography_from_keypoints(
     keypoints: List,
     keypoint_table: Optional[np.ndarray] = None,

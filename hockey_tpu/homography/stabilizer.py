@@ -10,7 +10,12 @@ existed upstream). Spec frozen here:
   unless they persist (camera cut handling);
 - quality gating: candidates must pass HomographyQuality validation;
 - lock/unlock (calibrator 'L' hotkey, README.md:143) freezes the current
-  estimate.
+  estimate;
+- two quality tiers (COMPAT #25): 'fine' estimates (strict 3-ft gate) are
+  authoritative; 'coarse' fallback fits may seed or refine a coarse
+  estimate but can only displace a fine one after it has gone
+  `fine_ttl` frames without fine confirmation (e.g. a camera cut into a
+  view where only coarse fits are achievable).
 """
 
 from __future__ import annotations
@@ -44,24 +49,51 @@ class HomographyStabilizer:
         jump_threshold: float = 10.0,   # rink ft of mean displacement
         jump_persistence: int = 5,      # frames before accepting a cut
         frame_hw=(1080, 1920),
+        fine_ttl: int = 30,             # frames a fine lock outlives fine fits
     ):
         self.alpha = smoothing
         self.jump_threshold = jump_threshold
         self.jump_persistence = jump_persistence
         self.frame_hw = frame_hw
+        self.fine_ttl = fine_ttl
         self.current: Optional[np.ndarray] = None
+        self.current_tier: Optional[str] = None
         self.locked = False
         self._jump_candidate: Optional[np.ndarray] = None
         self._jump_count = 0
+        self._fine_age = 0  # frames since the fine estimate was confirmed
 
-    def update(self, h: Optional[np.ndarray]) -> Optional[np.ndarray]:
-        """Feed this frame's raw homography (or None); returns the
-        stabilized estimate."""
+    def update(self, h: Optional[np.ndarray],
+               tier: str = "fine") -> Optional[np.ndarray]:
+        """Feed this frame's raw homography (or None) with its quality
+        tier; returns the stabilized estimate."""
         if self.locked or h is None:
+            if h is None and self.current_tier == "fine":
+                self._fine_age += 1
             return self.current
         h = _normalize(np.asarray(h, np.float64))
         if self.current is None:
             self.current = h
+            self.current_tier = tier
+            self._fine_age = 0
+            return self.current
+        if tier == "coarse" and self.current_tier == "fine":
+            # a coarse fit never displaces a live fine calibration; only
+            # when fine confirmations stop (camera cut into a view where
+            # just coarse fits are achievable) does it become eligible
+            self._fine_age += 1
+            if self._fine_age <= self.fine_ttl:
+                return self.current
+            self.current_tier = "coarse"  # fine lock expired
+        if tier == "fine" and self.current_tier == "coarse":
+            # first fine evidence replaces a coarse estimate outright —
+            # EMA-blending strictly better data into a worse estimate
+            # would just delay convergence
+            self.current = h
+            self.current_tier = "fine"
+            self._fine_age = 0
+            self._jump_candidate = None
+            self._jump_count = 0
             return self.current
         dist = homography_distance(self.current, h, self.frame_hw)
         if dist > self.jump_threshold:
@@ -75,12 +107,17 @@ class HomographyStabilizer:
                 self._jump_count = 1
             if self._jump_count >= self.jump_persistence:
                 self.current = h
+                self.current_tier = tier
+                self._fine_age = 0 if tier == "fine" else self._fine_age
                 self._jump_candidate = None
                 self._jump_count = 0
             return self.current
         self._jump_candidate = None
         self._jump_count = 0
         self.current = _normalize((1 - self.alpha) * self.current + self.alpha * h)
+        if tier == "fine":
+            self.current_tier = "fine"
+            self._fine_age = 0
         return self.current
 
     def lock(self, value: bool = True) -> None:
@@ -88,6 +125,8 @@ class HomographyStabilizer:
 
     def reset(self) -> None:
         self.current = None
+        self.current_tier = None
         self.locked = False
         self._jump_candidate = None
         self._jump_count = 0
+        self._fine_age = 0

@@ -366,6 +366,10 @@ class VideoProcessor:
                     self.timers.gauge("homography_reproj_error_ft",
                                       q.mean_reprojection_error)
                     self.timers.gauge("homography_points", q.n_points)
+                    self.timers.gauge(
+                        "homography_tier",
+                        {"fine": 2.0, "coarse": 1.0}.get(
+                            self.calibrator.stabilizer.current_tier, 0.0))
                 if h is not None:
                     rink_map = self.rink_renderer.render(
                         h, bottom_center_anchors(boxes), lookup)
@@ -397,8 +401,12 @@ class VideoProcessor:
             for frames, n in prefetched(batched_frame_generator(
                     source_path, pb, start=start_frame)):
                 with self.timers.stage("detect"):
-                    outs = self.puck_pipeline.process_batch(frames, n)
-                for o in outs:
+                    boxes, scores, valid = (
+                        self.puck_pipeline.detect_batch(frames))
+                for i in range(n):
+                    with self.timers.stage("annotate"):
+                        o = self.puck_pipeline.annotate_frame(
+                            frames[i], boxes, scores, valid, i)
                     yield o
             return
         if self.mode == ProcessingMode.PUCK_DETECTION or b == 1:

@@ -360,12 +360,23 @@ class PuckPipeline:
         (slicing + forward + merge batched over K x T tiles), then the
         sequential host stages (tracker update, trail drawing) per frame.
         `n` limits output to the first n frames (tail batch padding)."""
-        boxes, scores, valid = self.sliced.detect_frames(frames)
+        boxes, scores, valid = self.detect_batch(frames)
         out = []
         for i in range(len(frames) if n is None else n):
-            v = valid[i]
-            out.append(self._annotate(frames[i], boxes[i][v], scores[i][v]))
+            out.append(self.annotate_frame(frames[i], boxes, scores, valid, i))
         return out
+
+    def detect_batch(self, frames: np.ndarray):
+        """Device-only half of process_batch (the tiled megastep) so the
+        pipeline can time detect separately from the host tracker/drawing
+        stages, consistent with every other mode."""
+        return self.sliced.detect_frames(frames)
+
+    def annotate_frame(self, frame: np.ndarray, boxes, scores, valid,
+                       i: int) -> np.ndarray:
+        """Host half for frame `i`: tracker ingest + rectangle + trail."""
+        v = valid[i]
+        return self._annotate(frame, boxes[i][v], scores[i][v])
 
     def _annotate(self, frame: np.ndarray, boxes: np.ndarray,
                   scores: np.ndarray) -> np.ndarray:

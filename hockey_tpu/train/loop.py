@@ -123,8 +123,11 @@ def main(argv=None) -> int:
         dataset = HardSyntheticHockeyDataset(
             imgsz=args.imgsz, seed=args.seed, pool_size=args.pool,
             pucks=pucks, domain_rand=args.domain_rand)
-        # held-out split: disjoint seed space (legacy style, so val
-        # numbers stay comparable across rounds)
+        # held-out split: disjoint seed space, legacy style. Comparable
+        # within a renderer version only: the round-3 hard negatives
+        # changed legacy renders too, so cross-round comparisons require
+        # re-scoring old checkpoints on the current renderer (which the
+        # round-3 tables did)
         val_dataset = HardSyntheticHockeyDataset(
             imgsz=args.imgsz, seed=args.seed + 7777,
             pool_size=args.val_size, pucks=pucks)

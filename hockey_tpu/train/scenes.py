@@ -106,7 +106,11 @@ def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
                  style: Optional[Dict] = None) -> List[float]:
     """Articulated sprite at `foot` (bottom-center), `hpx` tall. Returns
     the body extent box [x1, y1, x2, y2]. `style` (sample_style) widens
-    the silhouette family; None keeps the legacy sprite bit-exactly."""
+    the silhouette family; None keeps the legacy silhouette GEOMETRY, but
+    note the round-3 contextual hard negatives (stick-blade / skate-blade
+    / glove blobs below) draw in every style and consume rng draws, so
+    renders are NOT bit-identical to the round-2 renderer — round-2
+    checkpoints were re-scored on the current renderer before comparison."""
     import cv2
 
     fx, fy = foot
@@ -364,8 +368,9 @@ def render_scene(rng: np.random.Generator, s: int = 640,
     (the puck model is single-class, MODEL_ZOO['hockey-puck-detection']).
 
     domain_rand=True widens the rendering family per sample_style()
-    (round-3 sim2real fix); False keeps the round-2 distribution
-    bit-exactly."""
+    (round-3 sim2real fix); False keeps the legacy style family, though
+    not bit-identical to round 2 (the round-3 contextual hard negatives
+    draw unconditionally — see _draw_player)."""
     import cv2
 
     from ..rinkmap.dimensions import NHL, default_keypoint_positions

@@ -64,10 +64,10 @@ def main(argv=None) -> int:
         from .data import SyntheticRinkDataset
         from .eval import PoseEvalAccumulator
 
-        # shipped-default validation runs the net at its training
-        # resolution (config.rink_imgsz = 512); an explicit --checkpoint
-        # is validated at the requested --imgsz so checkpoints trained at
-        # other resolutions aren't silently evaluated at 512
+        # shipped-default validation runs the net at its shipped operating
+        # resolution (config.rink_imgsz); an explicit --checkpoint is
+        # validated at the requested --imgsz so checkpoints trained at
+        # other resolutions aren't silently evaluated at the default
         if args.checkpoint:
             config.rink_imgsz = args.imgsz
         rkd = RinkKeypointDetector(

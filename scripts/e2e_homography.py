@@ -65,7 +65,17 @@ def main() -> int:
     p.add_argument("--generator", type=str, default="a", choices=["a", "b"],
                    help="'b' scores calibration on the never-trained "
                         "generator-B renderer (OOD; --span ignored)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (tunnel-outage fallback)")
+    p.add_argument("--tag", type=str, default=None,
+                   help="write logs/e2e_homography_<tag>.json instead of "
+                        "the default artifact name")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import cv2
 
@@ -115,12 +125,17 @@ def main() -> int:
     calib_err = []        # per-frame mean |H_rec(gt foot px) - gt rink| ft
     pipe_err = []         # same through the pipeline's own tracked feet
     per_frame_cal = []    # for cut-recovery analysis
+    tiers = {"fine": 0, "coarse": 0}
     t = 0
     for _ in proc.process_video(clip):
         gt = labels[t]
         t += 1
         h_rec = (None if proc.calibrator is None
                  else proc.calibrator.stabilizer.current)
+        cur_tier = (None if proc.calibrator is None
+                    else proc.calibrator.stabilizer.current_tier)
+        if h_rec is not None and cur_tier in tiers:
+            tiers[cur_tier] += 1
         if h_rec is None or len(gt["boxes"]) == 0:
             per_frame_cal.append(None)
             continue
@@ -168,12 +183,17 @@ def main() -> int:
         if pre_cut else None,
         "post_cut_err_ft": round(float(np.mean(post)), 2) if post else None,
         "cut_recovery_frames": recover,
+        "fine_frames": tiers["fine"],
+        "coarse_frames": tiers["coarse"],
         "generator": args.generator,
     }
     line = json.dumps(out)
     print(line)
+    name = (f"e2e_homography_{args.tag}.json" if args.tag
+            else ("e2e_homography.json" if args.generator == "a"
+                  else "e2e_homography_b.json"))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "logs", "e2e_homography.json" if args.generator == "a" else "e2e_homography_b.json"), "w") as f:
+                           "logs", name), "w") as f:
         f.write(line + "\n")
     return 0
 

@@ -290,3 +290,99 @@ class TestShippedKeypointTable:
         defaults = default_keypoint_positions()
         for k, v in table.items():
             np.testing.assert_allclose(defaults[int(k)], v, atol=1e-4)
+
+
+class TestTieredCalibration:
+    """COMPAT #25: coarse-tier fallback keeps the 2D map calibrated when
+    keypoint quality fails the strict 3-ft gate (round-3 regression: the
+    shipped rink model calibrated 0/16 frames end-to-end)."""
+
+    def _kps(self, noise_px, rng, conf=0.9):
+        h_gt = make_gt_homography()
+        h_inv = np.linalg.inv(h_gt)
+        table = default_keypoint_positions()
+        kps = [
+            RinkKeypoint(i, f"{zone_of(i)}_kpt_{i}",
+                         tuple(project(h_inv, table[i:i + 1])[0]
+                               + rng.normal(0, noise_px, 2)), conf)
+            for i in STABLE_KEYPOINT_IDS
+        ]
+        return kps, h_gt
+
+    def _corr(self, kps):
+        table = default_keypoint_positions()
+        src = np.asarray([k.position for k in kps], np.float64)
+        dst = np.asarray([table[k.id] for k in kps], np.float64)
+        return src, dst
+
+    def test_fit_tiers(self, rng):
+        from hockey_tpu.homography.ransac import fit_homography_tiered
+
+        clean, _ = self._kps(0.3, rng)
+        h, q, tier = fit_homography_tiered(*self._corr(clean))
+        assert tier == "fine" and h is not None
+
+        noisy, _ = self._kps(40.0, rng)
+        h, q, tier = fit_homography_tiered(*self._corr(noisy))
+        assert tier == "coarse" and h is not None
+        assert q.mean_reprojection_error > 3.0  # genuinely failed fine
+
+        # coarse fallback disabled -> rejected outright
+        h, q, tier = fit_homography_tiered(*self._corr(noisy),
+                                           coarse_threshold=0.0)
+        assert h is None and tier is None
+
+    def test_stabilizer_coarse_never_displaces_live_fine(self):
+        h_gt = make_gt_homography()
+        off = h_gt.copy()
+        off[0, 2] += 300
+        st = HomographyStabilizer(fine_ttl=5)
+        st.update(h_gt, tier="fine")
+        for _ in range(5):  # within ttl: coarse is held off
+            st.update(off, tier="coarse")
+        assert st.current_tier == "fine"
+        assert homography_distance(st.current, h_gt) < 1e-6
+
+    def test_stabilizer_coarse_takes_over_after_fine_ttl(self):
+        h_gt = make_gt_homography()
+        off = h_gt.copy()
+        off[0, 2] += 300
+        st = HomographyStabilizer(fine_ttl=3, jump_persistence=2)
+        st.update(h_gt, tier="fine")
+        for _ in range(3 + 2 + 2):  # ttl expiry + jump persistence
+            st.update(off, tier="coarse")
+        assert st.current_tier == "coarse"
+        assert homography_distance(st.current, off) < 1.0
+
+    def test_stabilizer_fine_replaces_coarse_outright(self):
+        h_gt = make_gt_homography()
+        off = h_gt.copy()
+        off[0, 2] += 300
+        st = HomographyStabilizer()
+        st.update(off, tier="coarse")
+        assert st.current_tier == "coarse"
+        st.update(h_gt, tier="fine")  # no EMA lag, no jump gating
+        assert st.current_tier == "fine"
+        assert homography_distance(st.current, h_gt) < 1e-6
+
+    def test_calibrator_coarse_then_fine(self, rng):
+        noisy, h_gt = self._kps(40.0, rng)
+        st = CalibratorState(frame_hw=(1080, 1920))
+        st.detected_keypoints = noisy
+        h = st.recalculate()
+        assert h is not None, "coarse fallback should calibrate"
+        assert st.last_tier == "coarse"
+        assert "coarse" in st.status
+        clean, _ = self._kps(0.3, rng)
+        st.detected_keypoints = clean
+        st.recalculate()
+        assert st.last_tier == "fine"
+        assert st.stabilizer.current_tier == "fine"
+        assert homography_distance(st.stabilizer.current, h_gt) < 1.0
+
+    def test_calibrator_coarse_disabled(self, rng):
+        noisy, _ = self._kps(40.0, rng)
+        st = CalibratorState(frame_hw=(1080, 1920), coarse_max_error_ft=0.0)
+        st.detected_keypoints = noisy
+        assert st.recalculate() is None
+        assert "rejected" in st.status
