@@ -97,6 +97,17 @@ def sample_style(rng: np.random.Generator) -> Dict:
         "cast": rng.uniform(-0.08, 0.08),    # color-temperature shift
         "banding": rng.uniform() < 0.3,      # row brightness banding
         "aa": rng.uniform() < 0.5,           # antialiased markings/limbs
+        # round-4 limb-context family: generator-B-style limbs are THICK
+        # DARK AA capsules terminating in dark capsule mitts — one
+        # continuous elongated dark shape. The round-3 glove negatives
+        # (small blob at the end of a thin jersey-colored arm) did not
+        # cover that context, and B's mitts kept drawing ~5.7 confident
+        # puck false fires per image (logs/diag_puck_b). Randomizing the
+        # whole limb's color/thickness/termination makes "dark elongated
+        # blob attached to a body" a negative in every presentation.
+        "dark_limbs": rng.uniform() < 0.5,   # arm capsules in glove color
+        "limb_w": rng.uniform(1.0, 3.2),     # arm thickness family
+        "mitt_merge": rng.uniform() < 0.6,   # mitt continuous with arm
     }
 
 
@@ -141,8 +152,14 @@ def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
     if not is_goalie and rng.uniform() < 0.9:
         sx = fx + rng.choice([-1, 1]) * rng.uniform(0.3, 0.9) * hpx
         sy = fy - rng.uniform(-0.02, 0.08) * hpx
+        # stick shaft color family (B draws grey-blue shafts, not black)
+        stick = dark
+        if style is not None and rng.uniform() < 0.5:
+            sg = int(rng.uniform(30, 90))
+            stick = (sg, int(sg * rng.uniform(1.0, 1.3)),
+                     int(sg * rng.uniform(1.0, 1.4)))
         cv2.line(img, (int(fx), int(fy - 0.45 * hpx)),
-                 (int(sx), int(sy)), dark, max(1, int(hpx * 0.03)))
+                 (int(sx), int(sy)), stick, max(1, int(hpx * 0.03)))
         # stick BLADE: a puck-sized dark blob at the stick's far end.
         # Deliberate hard negative — the puck detector must learn that a
         # compact dark blob attached to a stick/foot is not a puck
@@ -185,14 +202,27 @@ def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
                      (int(lx), int(fy - 0.04 * hpx)), pad,
                      max(1, int(w * 0.3)), lineType=cv2.LINE_AA)
     # arms
+    dark_limbs = style is not None and style["dark_limbs"]
     for side in (-1, 1):
         ax = cxt + side * w * rng.uniform(0.55, 0.8)
         pts = np.asarray([
             [cxt + side * w * 0.4, top + 0.18 * hpx],
             [ax, top + rng.uniform(0.3, 0.5) * hpx],
         ], np.float32)
-        cv2.line(img, tuple(pts[0].astype(int)), tuple(pts[1].astype(int)),
-                 jersey, max(1, int(hpx * 0.07)))
+        if dark_limbs:
+            # generator-B-style limb context: thick dark AA capsule arm
+            # (see sample_style "dark_limbs" note)
+            lg = int(rng.uniform(12, 45))
+            arm_color = (lg, lg, int(lg * rng.uniform(0.9, 1.3)))
+            arm_th = max(1, int(hpx * 0.07 * style["limb_w"]))
+            cv2.line(img, tuple(pts[0].astype(int)),
+                     tuple(pts[1].astype(int)), arm_color, arm_th,
+                     lineType=cv2.LINE_AA)
+        else:
+            arm_color = None
+            cv2.line(img, tuple(pts[0].astype(int)),
+                     tuple(pts[1].astype(int)), jersey,
+                     max(1, int(hpx * 0.07)))
         # GLOVE: dark hand blob at the arm end — the densest puck false-
         # fire source on generator B (every actor carries two of them at
         # 0.85-0.93 confidence, logs/diag_puck_b); same contextual
@@ -202,9 +232,21 @@ def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
         # like an elongated-ellipse puck (hn retrain: B mAP 0.11 -> 0.10)
         if rng.uniform() < 0.85:
             gl = int(rng.uniform(14, 40))
-            gc = (gl, gl, gl)
+            gc = (gl, gl, gl) if arm_color is None else arm_color
             gx, gy = int(pts[1, 0]), int(pts[1, 1])
             r = max(int(hpx * rng.uniform(0.03, 0.08)), 1)
+            if dark_limbs and style["mitt_merge"]:
+                # mitt continuous with the dark arm (B's exact geometry:
+                # a wider round-capped capsule extending the forearm)
+                d = pts[1] - pts[0]
+                nrm = float(np.linalg.norm(d)) + 1e-6
+                tip = pts[1] + d / nrm * r * rng.uniform(1.0, 2.2)
+                cv2.line(img, (gx, gy), (int(tip[0]), int(tip[1])), gc,
+                         max(int(r * rng.uniform(1.6, 2.6)), 2),
+                         lineType=cv2.LINE_AA)
+                ext.append([min(pts[0, 0], pts[1, 0]), pts[0, 1],
+                            max(pts[0, 0], pts[1, 0]), pts[1, 1]])
+                continue
             shape = rng.uniform()
             if shape < 0.35:
                 cv2.circle(img, (gx, gy), r, gc, -1, lineType=cv2.LINE_AA)

@@ -64,8 +64,11 @@ def test_run_stage_timeout_keeps_partial_result(tmp_path, monkeypatch):
         "time.sleep(600)\n")
     monkeypatch.setattr(bench.os.path, "abspath", lambda p: str(fake))
 
+    # budget must exceed interpreter startup: the axon sitecustomize makes
+    # bare `python -c pass` cost ~5 s on a cold VM, so a too-tight budget
+    # kills the child before it writes anything (seen 2026-08-18)
     results = {}
-    got = bench._run_stage("detect", budget=3.0, results=results)
+    got = bench._run_stage("detect", budget=20.0, results=results)
     assert got == {"fps": 42.0}
     assert results["_status"]["detect"]["status"] == "timeout"
 

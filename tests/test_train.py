@@ -392,7 +392,9 @@ class TestSyntheticRinkDataset:
         assert item["keypoints"].shape == (4, 56, 3)
         assert item["mask"][0] and not item["mask"][1:].any()
         vis = item["keypoints"][0, :, 2] > 0.5
-        assert vis.sum() > 20, "most keypoints should be in frame"
+        # windowed cameras (visible fraction down to 0.42, data.py) crop
+        # a large share of the 56 keypoints by design
+        assert vis.sum() >= 15, "a meaningful share of keypoints in frame"
         pts = item["keypoints"][0, vis, :2]
         assert (pts >= 0).all() and (pts < 128).all()
 
@@ -413,7 +415,7 @@ class TestSyntheticRinkDataset:
 
         ds = SyntheticRinkDataset(imgsz=128, seed=9)
         vis_counts = []
-        for i in range(24):
+        for i in range(32):
             item = ds.load(i)
             vis = item["keypoints"][0, :, 2] > 0.5
             vis_counts.append(int(vis.sum()))
@@ -421,6 +423,6 @@ class TestSyntheticRinkDataset:
             pts = item["keypoints"][0, vis, :2]
             assert (pts >= 0).all() and (pts < 128).all()
         # some views crop a meaningful share of the 56 keypoints...
-        assert min(vis_counts) < 48, vis_counts
+        assert min(vis_counts) < 34, vis_counts
         # ...while the family still contains (near-)full-rink views
-        assert max(vis_counts) >= 52, vis_counts
+        assert max(vis_counts) >= 50, vis_counts
