@@ -404,10 +404,25 @@ def _emit(results: dict) -> None:
     }
     if results.get("_error"):
         line["error"] = results["_error"]
+        # A dead tunnel NOW must not lose numbers a successful run banked
+        # EARLIER in the round (round-3 lesson, generalized): attach the
+        # last good measurement so the driver-recorded line carries it.
+        last_good = os.path.join(LOGS, "bench_last_good.json")
+        if os.path.exists(last_good):
+            try:
+                with open(last_good) as f:
+                    line["last_good"] = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass
     print(json.dumps(line), flush=True)
     try:
         os.makedirs(LOGS, exist_ok=True)
         _write_out(os.path.join(LOGS, "bench_partial.json"), line)
+        if line["value"] > 0.0:
+            line_g = dict(line)
+            line_g["measured_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            _write_out(os.path.join(LOGS, "bench_last_good.json"), line_g)
     except OSError:
         pass
 

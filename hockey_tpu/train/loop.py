@@ -137,7 +137,10 @@ def main(argv=None) -> int:
         import time as _t
 
         t = _t.time()
-        cache = (f"/tmp/hockey_scenes_{args.imgsz}_{args.pool}_"
+        from .scenes import RENDERER_VERSION
+
+        cache = (f"/tmp/hockey_scenes_v{RENDERER_VERSION}_"
+                 f"{args.imgsz}_{args.pool}_"
                  f"{args.seed}_{int(pucks)}"
                  f"{'_dr' if args.domain_rand else ''}.npz")
         if dataset.load_cache(cache):

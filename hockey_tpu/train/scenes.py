@@ -31,6 +31,12 @@ import numpy as np
 
 PLAYER_H_FT = 6.0  # skater height incl. skates/helmet
 
+# Bump whenever render output changes for the same rng seed (new hard
+# negatives, style keys, geometry). Keyed into the on-disk scene-pool
+# cache name (train/loop.py) so a stale /tmp pool rendered by an older
+# renderer can never silently train a model without the new content.
+RENDERER_VERSION = 4  # round-4: dark-limb/mitt-merge family, stick shafts
+
 
 def _homography(rng: np.random.Generator, s: int, rink,
                 span_range=(0.3, 0.95), width: Optional[int] = None

@@ -62,6 +62,11 @@ def main() -> int:
     p.add_argument("--rink-checkpoint", type=str, default=None,
                    help="evaluate this rink-pose checkpoint instead of the "
                         "shipped weights (pre-ship candidate evaluation)")
+    p.add_argument("--rink-imgsz", type=int, default=None,
+                   help="run the rink pose model at this resolution "
+                        "(MUST match the checkpoint's training resolution "
+                        "— running 512-trained weights at 384 collapses "
+                        "PCK; default: config.rink_imgsz)")
     p.add_argument("--generator", type=str, default="a", choices=["a", "b"],
                    help="'b' scores calibration on the never-trained "
                         "generator-B renderer (OOD; --span ignored)")
@@ -117,6 +122,8 @@ def main() -> int:
     os.environ["HOCKEY_TPU_HEADLESS"] = "1"
     config = Config()
     config.detection_imgsz = args.imgsz
+    if args.rink_imgsz:
+        config.rink_imgsz = args.rink_imgsz
     proc = VideoProcessor(config=config, mode=ProcessingMode.PLAYER_TRACKING,
                           frame_hw=(args.imgsz, args.imgsz),
                           show_2d_map=True,

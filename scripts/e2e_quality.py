@@ -66,6 +66,13 @@ def main() -> int:
                    help="force the CPU backend (e.g. while the TPU is "
                         "training; env vars alone cannot override the "
                         "axon sitecustomize)")
+    p.add_argument("--match-iou", type=float, default=0.5,
+                   help="pred<->gt match threshold. 0.5 is the MOT "
+                        "convention; generator B draws looser body "
+                        "extents than the training labels (its mAP50-95 "
+                        "is 0.195 for the same reason), so a B run at "
+                        "0.3 separates extent-convention mismatch from "
+                        "real detection/tracking error")
     args = p.parse_args()
 
     if args.cpu:
@@ -134,7 +141,7 @@ def main() -> int:
                 break
             j = int(np.argmax(np.where(
                 [k in taken for k in range(m.shape[1])], -1.0, m[i])))
-            if m[i, j] >= 0.5 and j not in taken:
+            if m[i, j] >= args.match_iou and j not in taken:
                 taken.add(j)
                 matched_pred.add(int(i))
                 matched_ious.append(float(m[i, j]))
@@ -180,6 +187,8 @@ def main() -> int:
     out = {
         "mode": args.mode,
         "frames": args.frames,
+        "imgsz": args.imgsz,
+        "match_iou": args.match_iou,
         "detection_precision": round(precision, 4),
         "detection_recall": round(recall, 4),
         "id_stability": round(id_stability, 4),

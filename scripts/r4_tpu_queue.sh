@@ -1,0 +1,57 @@
+#!/bin/bash
+# Round-4 TPU queue: launched by scripts/tpu_watch.sh the moment the
+# axon tunnel is confirmed back (/tmp/tpu_ok). Strictly sequential —
+# the tunnel deadlocks with two concurrent jitted clients.
+# Priorities per VERDICT round-3: (1) bank a bench number, (2) puck OOD
+# retrain with the round-4 dark-limb negatives, (3) full-strength 512
+# rink window retrain, (4) e2e + profile trace artifacts.
+cd /root/repo
+{
+# the CPU puck fine-tune becomes redundant once the TPU can run the
+# full-strength version — free the single host core for data feeding
+if [ -f /tmp/puck_dl.pid ] && kill -0 "$(cat /tmp/puck_dl.pid)" 2>/dev/null; then
+  echo "killing CPU puck fine-tune (TPU takes over)"
+  kill "$(cat /tmp/puck_dl.pid)"
+fi
+
+echo "=== bank a bench run (streams partials to logs/bench_partial.json)"
+timeout 2700 python bench.py | tail -1 | tee logs/bench_r4_banked.json
+
+# continue from the CPU dark-limb fine-tune if it banked a best
+PUCK_INIT=checkpoints/puck_s_dr.msgpack.best
+[ -f checkpoints/puck_s_dl.msgpack.best ] && PUCK_INIT=checkpoints/puck_s_dl.msgpack.best
+echo "=== puck dark-limb retrain (TPU, full strength, init $PUCK_INIT)"
+python -m hockey_tpu.train.loop --model hockey-puck-detection \
+  --dataset hard-puck --domain-rand --device-data --steps 6000 --batch 16 \
+  --lr 0.001 --ema 0.999 --val-every 1000 --val-size 100 \
+  --init "$PUCK_INIT" \
+  --out checkpoints/puck_s_dl_tpu.msgpack
+echo "puck dl retrain exit: $?"
+for ds in hard-puck hard-puck-b; do
+  tag=$([ "$ds" = hard-puck ] && echo a || echo b)
+  timeout 2400 python -m hockey_tpu.train.val --model hockey-puck-detection \
+    --checkpoint checkpoints/puck_s_dl_tpu.msgpack.best --dataset "$ds" \
+    --limit 120 --json > "logs/val_puck_dl_tpu_${tag}.json" 2>/dev/null
+  cat "logs/val_puck_dl_tpu_${tag}.json"
+done
+timeout 2400 python scripts/e2e_puck.py --frames 96 --generator b \
+  --checkpoint checkpoints/puck_s_dl_tpu.msgpack.best 2>/dev/null | tail -1
+
+echo "=== rink window retrain (TPU, 512, full strength)"
+python -m hockey_tpu.train.loop --model hockey-detection --variant s \
+  --imgsz 512 --device-data --domain-rand --steps 6000 --batch 16 \
+  --lr 0.002 --init checkpoints/rink_s_w_cpu3.msgpack \
+  --out checkpoints/rink_s_w_tpu.msgpack
+echo "rink retrain exit: $?"
+timeout 1800 python -m hockey_tpu.train.val --model hockey-detection \
+  --variant s --checkpoint checkpoints/rink_s_w_tpu.msgpack --imgsz 512 \
+  --limit 200 --json > logs/val_rink_w_tpu.json 2>/dev/null
+cat logs/val_rink_w_tpu.json
+timeout 3600 python scripts/e2e_homography.py \
+  --rink-checkpoint checkpoints/rink_s_w_tpu.msgpack --rink-imgsz 512 \
+  2>/dev/null | tail -1
+
+echo "=== short e2e + trace pass (round-3 recover list)"
+bash scripts/r3_recover.sh
+echo "=== done r4 TPU queue"
+} > logs/r4_tpu_queue.log 2>&1
