@@ -138,9 +138,23 @@ def _tracker_step_impl(
     low_gate: float = 0.5,          # IoU distance gate (stage 2)
     max_time_lost: int = 30,
     min_consecutive: int = 2,
+    lost_reacquire_floor: float = 0.0,
 ) -> Tuple[TrackState, jnp.ndarray]:
     """One frame. Returns (new_state, det_track_ids (D,) int32; -1 where
-    the detection did not acquire an emittable track)."""
+    the detection did not acquire an emittable track).
+
+    `lost_reacquire_floor` > 0 enables a third association stage that is
+    NOT in ByteTrack (0 = exact ByteTrack semantics): unmatched LOST
+    tracks vs unmatched sub-threshold detections (score >= floor). In
+    stock ByteTrack a lost track can only be revived by a detection above
+    the activation threshold (stage 1) — under an out-of-distribution
+    score sag a briefly-missed player whose scores hover below activation
+    cannot re-link, and every eventual high detection births a NEW id
+    (measured round 4: generator-B id_stability 0.111 with 88 switches at
+    extent-insensitive matching, logs/e2e_quality_b_iou03.json, while
+    in-dist is 1.0). Re-acquisition never CREATES tracks — initiation
+    stays at the reference's threshold (hockey/main.py:179-192 parity) —
+    it only re-links existing identity. See COMPAT.md."""
     t = state.mean.shape[0]
     d = boxes.shape[0]
 
@@ -164,8 +178,23 @@ def _tracker_step_impl(
     a2 = _match(iou, state.active & state.tracked & ~m1, low, 1.0 - low_gate)
     m2 = a2 >= 0
 
-    matched = m1 | m2
-    det_idx = jnp.where(m1, a1, jnp.where(m2, a2, 0))
+    if lost_reacquire_floor > 0.0:  # static branch (jit static arg)
+        # stage 3 (extension, see docstring): unmatched LOST tracks vs
+        # sub-threshold dets stage 2 didn't take. Same IoU gate as
+        # stage 2 — low-score boxes are noisy, and a coasted lost track's
+        # prediction must still genuinely overlap to re-link.
+        taken2 = jnp.zeros((d,), bool)
+        taken2 = taken2.at[jnp.where(m2, a2, d)].set(True, mode="drop")
+        mid = (valid & (scores >= lost_reacquire_floor) & ~high & ~taken2)
+        a3 = _match(iou, state.active & ~state.tracked & ~m1, mid,
+                    1.0 - low_gate)
+        m3 = a3 >= 0
+    else:
+        a3 = jnp.full((t,), -1, jnp.int32)
+        m3 = jnp.zeros((t,), bool)
+
+    matched = m1 | m2 | m3
+    det_idx = jnp.where(m1, a1, jnp.where(m2, a2, jnp.where(m3, a3, 0)))
     meas = _xyxy_to_xyah(boxes[det_idx])
     mean_u, cov_u = _kf_update(mean, cov, meas)
     was_lost = ~state.tracked
@@ -186,6 +215,7 @@ def _tracker_step_impl(
     det_taken = jnp.zeros((d,), bool)
     det_taken = det_taken.at[jnp.where(m1, a1, d)].set(True, mode="drop")
     det_taken = det_taken.at[jnp.where(m2, a2, d)].set(True, mode="drop")
+    det_taken = det_taken.at[jnp.where(m3, a3, d)].set(True, mode="drop")
     new_det = high & ~det_taken                              # (D,)
     free = ~active                                           # (T,)
     # rank free slots and new dets; pair k-th free slot with k-th new det
@@ -224,6 +254,8 @@ def _tracker_step_impl(
         jnp.where(m1 & emit, src_tid, -1), mode="drop")
     det_tid = det_tid.at[jnp.where(m2 & emit, a2, d)].set(
         jnp.where(m2 & emit, src_tid, -1), mode="drop")
+    det_tid = det_tid.at[jnp.where(m3 & emit, a3, d)].set(
+        jnp.where(m3 & emit, src_tid, -1), mode="drop")
     det_tid = det_tid.at[jnp.where(takes & emit, slot_det, d)].set(
         jnp.where(takes & emit, track_id, -1), mode="drop")
     return new_state, det_tid
@@ -232,7 +264,8 @@ def _tracker_step_impl(
 tracker_step = functools.partial(
     jax.jit,
     static_argnames=("activation_thresh", "match_thresh", "low_gate",
-                     "max_time_lost", "min_consecutive"),
+                     "max_time_lost", "min_consecutive",
+                     "lost_reacquire_floor"),
 )(_tracker_step_impl)
 
 
@@ -275,6 +308,7 @@ class DeviceByteTrack:
                                            cfg.lost_track_buffer)),
             min_consecutive=kwargs.get("minimum_consecutive_frames",
                                        cfg.minimum_consecutive_frames),
+            lost_reacquire_floor=kwargs.get("lost_reacquire_floor", 0.0),
         )
         self.state = init_state(capacity)
 

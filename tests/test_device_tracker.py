@@ -171,6 +171,36 @@ class TestDeviceByteTrack:
         b, s, c, ids = tr.update(make_box(108, 100)[None], np.asarray([0.2]))
         assert len(ids) == 1 and ids[0] == original
 
+    def test_lost_reacquire_floor_relinks_lost_track(self):
+        """With the stage-3 extension on, a LOST track re-links to a
+        sub-activation detection at its predicted position and keeps its
+        id; with the knob off (stock ByteTrack) the same detection is
+        dropped — a lost track can only be revived by a high detection."""
+
+        def run(floor):
+            # activation 0.4 mirrors the fused wiring
+            # (max(track_activation_threshold, detection_confidence))
+            tr = DeviceByteTrack(minimum_consecutive_frames=1,
+                                 lost_track_buffer=30,
+                                 track_activation_threshold=0.4,
+                                 lost_reacquire_floor=floor)
+            for f in range(4):
+                _, _, _, ids = tr.update(make_box(100 + 3 * f, 100)[None],
+                                         np.asarray([0.9], np.float32))
+            original = ids[0]
+            for _ in range(3):  # miss -> track becomes LOST
+                tr.update(np.zeros((0, 4), np.float32),
+                          np.zeros((0,), np.float32))
+            # sub-activation (0.25 < s < 0.4 band) det near the prediction
+            _, _, _, ids = tr.update(make_box(118, 100)[None],
+                                     np.asarray([0.3], np.float32))
+            return original, ids
+
+        orig, ids = run(0.15)
+        assert len(ids) == 1 and ids[0] == orig
+        _, ids_off = run(0.0)
+        assert len(ids_off) == 0  # stock: low det cannot revive a lost track
+
     def test_matches_host_tracker_on_easy_scenario(self):
         """Greedy vs Hungarian agree when IoUs are unambiguous."""
         from hockey_tpu.tracking.bytetrack import ByteTrack
