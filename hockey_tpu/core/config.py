@@ -57,7 +57,13 @@ class Config:
     # --- Tracking (reference main.py:32-36).
     track_activation_threshold: float = 0.25
     lost_track_buffer: int = 30
-    minimum_matching_threshold: float = 0.8
+    # reference value is 0.8 (main.py:34); 0.95 (stage-1 IoU gate 0.05)
+    # measured strictly better on both renderers under detection extent
+    # jitter — in-dist id switches 52 -> 42, OOD generator-B 247 -> 80
+    # (scripts/diag_track_b.py, COMPAT #28). The auction assignment is
+    # jointly optimal, so the gate only rejects weak pairs; set 0.8 for
+    # reference parity.
+    minimum_matching_threshold: float = 0.95
     frame_rate: int = 30
     minimum_consecutive_frames: int = 2
 
@@ -97,6 +103,16 @@ class Config:
     max_detections: int = 64           # padded post-NMS capacity
     nms_pre_topk: int = 256            # candidates entering NMS
     nms_iou_threshold: float = 0.45    # ultralytics default
+    # suppress partial-duplicate boxes (torso-inside-full-body) by
+    # intersection-over-min-area; 0 = pure-IoU ultralytics contract.
+    # Measured (COMPAT #26): OOD generator-B tracking precision
+    # 0.776 -> 0.84+ with in-dist unchanged; dup pairs sit at IoU
+    # 0.38-0.44 (under the gate) but IoMin ~0.68.
+    nms_containment_threshold: float = 0.5
+    # kill the younger of two same-class tracks overlapping at IoMin
+    # above this (device tracker stage; 0 = stock ByteTrack, which only
+    # dedups at IoU > 0.85). See tracking/device_tracker.py docstring.
+    duplicate_kill_iomin: float = 0.55
     max_tracks: int = 128              # padded track-table capacity
     compute_dtype: str = "bfloat16"
     # on-device tracker (tracking/device_tracker.py): association runs as

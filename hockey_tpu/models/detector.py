@@ -79,6 +79,7 @@ def _build_detect_core(
     frame_hw: Tuple[int, int],
     conf: float,
     iou: float = 0.45,
+    containment: float = 0.0,
     pre_topk: int = 256,
     max_det: int = 64,
     dtype=jnp.bfloat16,
@@ -117,6 +118,7 @@ def _build_detect_core(
             return nms(
                 bx, sc, cl,
                 score_threshold=conf, iou_threshold=iou,
+                containment_threshold=containment,
                 pre_topk=pre_topk, max_det=max_det, pallas=use_pallas,
             )
 
@@ -278,6 +280,7 @@ class Detector:
             frame_hw=frame_hw,
             conf=self.conf,
             iou=self.config.nms_iou_threshold,
+            containment=self.config.nms_containment_threshold,
             pre_topk=self.config.nms_pre_topk,
             max_det=self.max_det,
             with_keypoints=self.cfg.num_keypoints > 0,
@@ -306,8 +309,10 @@ class Detector:
             # the fused path floors NMS at BYTE_FLOOR and keeps track
             # INITIATION at the reference's effective threshold
             # (max(activation, conf)): identical track starts, real
-            # low-score continuation. Measured on the OOD generator-B
-            # clip: id stability 0.22 -> see logs/e2e_quality_b.json.
+            # low-score continuation. OOD id stability is measured in
+            # logs/e2e_quality_b.json (regenerated by scripts/
+            # e2e_quality.py --generator b alongside the duplicate-
+            # suppression knobs, COMPAT #26-28).
             self._fn_track = build_detect_track_fn(
                 self.cfg,
                 tracker_kwargs=dict(
@@ -317,11 +322,13 @@ class Detector:
                     max_time_lost=int(c.frame_rate / 30.0
                                       * c.lost_track_buffer),
                     min_consecutive=c.minimum_consecutive_frames,
+                    duplicate_kill_iomin=c.duplicate_kill_iomin,
                 ),
                 imgsz=self.imgsz,
                 frame_hw=self.frame_hw,
                 conf=min(self.conf, BYTE_FLOOR),
                 iou=c.nms_iou_threshold,
+                containment=c.nms_containment_threshold,
                 pre_topk=c.nms_pre_topk,
                 max_det=self.max_det,
                 with_team_features=self.with_team_features,

@@ -42,6 +42,7 @@ def build_dual_fn(
     frame_hw: Tuple[int, int],
     conf: float,
     iou: float = 0.45,
+    containment: float = 0.0,
     pre_topk: int = 256,
     max_det: int = 64,
     with_team_features: bool = True,
@@ -69,6 +70,7 @@ def build_dual_fn(
         classes = jnp.argmax(scores, axis=-1).astype(jnp.int32)
         det = jax.vmap(lambda b, s, c: nms(
             b, s, c, score_threshold=conf, iou_threshold=iou,
+            containment_threshold=containment,
             pre_topk=pre_topk, max_det=max_det, pallas=use_pallas,
         ))(boxes, max_scores, classes)
         det = det._replace(boxes=_unmap_boxes(det.boxes, h, w, imgsz, True))
@@ -136,6 +138,7 @@ class DualDetector:
             rink_imgsz=self.config.rink_imgsz,
             conf=self.config.detection_confidence,
             iou=self.config.nms_iou_threshold,
+            containment=self.config.nms_containment_threshold,
             pre_topk=self.config.nms_pre_topk,
             max_det=self.config.max_detections,
             with_team_features=with_team_features,

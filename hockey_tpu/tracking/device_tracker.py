@@ -139,6 +139,7 @@ def _tracker_step_impl(
     max_time_lost: int = 30,
     min_consecutive: int = 2,
     lost_reacquire_floor: float = 0.0,
+    duplicate_kill_iomin: float = 0.0,
 ) -> Tuple[TrackState, jnp.ndarray]:
     """One frame. Returns (new_state, det_track_ids (D,) int32; -1 where
     the detection did not acquire an emittable track).
@@ -154,7 +155,19 @@ def _tracker_step_impl(
     extent-insensitive matching, logs/e2e_quality_b_iou03.json, while
     in-dist is 1.0). Re-acquisition never CREATES tracks — initiation
     stays at the reference's threshold (hockey/main.py:179-192 parity) —
-    it only re-links existing identity. See COMPAT.md."""
+    it only re-links existing identity. See COMPAT.md.
+
+    `duplicate_kill_iomin` > 0 enables duplicate-track suppression
+    (0 = exact ByteTrack): a tracked track whose box intersects an
+    OLDER (smaller id) tracked same-class track at
+    intersection-over-min-area above the threshold is deactivated.
+    ByteTrack's own `remove_duplicate_stracks` only fires at IoU > 0.85;
+    the OOD failure mode is a detector emitting a torso box AND a
+    full-body box per player (measured dup-pair geometry on generator B:
+    IoU ~0.38-0.44 — under NMS's 0.45 — but IoMin ~0.68), each
+    sustaining its own track and the emitted id alternating between
+    them. Keeping the older id collapses the alternation onto one
+    identity."""
     t = state.mean.shape[0]
     d = boxes.shape[0]
 
@@ -242,6 +255,25 @@ def _tracker_step_impl(
     score = jnp.where(takes, scores[slot_det], score)
     missed = jnp.where(takes, 0, missed)
 
+    if duplicate_kill_iomin > 0.0:  # static branch (see docstring)
+        tb = _xyah_to_xyxy(mean)
+        tl = jnp.maximum(tb[:, None, :2], tb[None, :, :2])
+        br = jnp.minimum(tb[:, None, 2:], tb[None, :, 2:])
+        inter = jnp.prod(jnp.clip(br - tl, 0.0, None), -1)
+        area = jnp.prod(jnp.clip(tb[:, 2:] - tb[:, :2], 0.0, None), -1)
+        iomin = inter / jnp.maximum(
+            jnp.minimum(area[:, None], area[None, :]), 1e-9)
+        live = active & tracked
+        # one-shot: i dies if contained-with ANY older (smaller-id) live
+        # same-class track — chains (A>B>C) over-kill at most one frame
+        dup = ((iomin > duplicate_kill_iomin)
+               & (track_id[None, :] < track_id[:, None])
+               & live[:, None] & live[None, :]
+               & (class_id[:, None] == class_id[None, :]))
+        killed = jnp.any(dup, axis=1)
+        active = active & ~killed
+        tracked = tracked & ~killed
+
     new_state = TrackState(mean, cov, track_id, active, tracked,
                            consecutive, activated, missed, class_id, score,
                            next_id)
@@ -265,7 +297,7 @@ tracker_step = functools.partial(
     jax.jit,
     static_argnames=("activation_thresh", "match_thresh", "low_gate",
                      "max_time_lost", "min_consecutive",
-                     "lost_reacquire_floor"),
+                     "lost_reacquire_floor", "duplicate_kill_iomin"),
 )(_tracker_step_impl)
 
 
@@ -309,6 +341,7 @@ class DeviceByteTrack:
             min_consecutive=kwargs.get("minimum_consecutive_frames",
                                        cfg.minimum_consecutive_frames),
             lost_reacquire_floor=kwargs.get("lost_reacquire_floor", 0.0),
+            duplicate_kill_iomin=kwargs.get("duplicate_kill_iomin", 0.0),
         )
         self.state = init_state(capacity)
 

@@ -157,6 +157,40 @@ def _score_variant(data, det_tids, match_iou: float) -> dict:
     }
 
 
+def _dedup_iomin(data, thr: float):
+    """Greedy same-class containment suppression on the dumped (post-NMS)
+    detections: invalidate a box whose intersection-over-min-area with a
+    higher-scoring surviving same-class box exceeds `thr`. Offline stand-in
+    for adding the containment term to the device NMS."""
+    out = {k: data[k].copy() for k in data}
+    n = data["scores"].shape[0]
+    for t in range(n):
+        v = np.where(out["valid"][t])[0]
+        if len(v) < 2:
+            continue
+        order = v[np.argsort(-out["scores"][t][v])]
+        b = out["boxes"][t].astype(np.float64)
+        area = np.prod(np.clip(b[:, 2:] - b[:, :2], 0, None), -1)
+        alive = []
+        for i in order:
+            dead = False
+            for j in alive:
+                if out["classes"][t][i] != out["classes"][t][j]:
+                    continue
+                tl = np.maximum(b[i, :2], b[j, :2])
+                br = np.minimum(b[i, 2:], b[j, 2:])
+                inter = np.prod(np.clip(br - tl, 0, None))
+                if inter / max(min(area[i], area[j]), 1e-9) > thr:
+                    dead = True
+                    break
+            if dead:
+                out["valid"][t][i] = False
+                out["scores"][t][i] = -1.0
+            else:
+                alive.append(i)
+    return out
+
+
 def sweep(args) -> int:
     import jax
 
@@ -166,6 +200,8 @@ def sweep(args) -> int:
     from hockey_tpu.tracking.device_tracker import init_state, tracker_step
 
     data = np.load(_npz_path(args))
+    if args.dedup_iomin > 0:
+        data = _dedup_iomin(data, args.dedup_iomin)
     base = dict(activation_thresh=0.4, match_thresh=0.8, low_gate=0.5,
                 max_time_lost=30, min_consecutive=2)
     variants = {
@@ -182,6 +218,10 @@ def sweep(args) -> int:
         variants["reacq"] = {"lost_reacquire_floor": 0.15}
         variants["reacq_combo"] = {"lost_reacquire_floor": 0.15,
                                    "min_consecutive": 1}
+    if args.dupkill > 0:
+        variants["dupkill"] = {"duplicate_kill_iomin": args.dupkill}
+        variants["dupkill_reacq"] = {"duplicate_kill_iomin": args.dupkill,
+                                     "lost_reacquire_floor": 0.15}
     n, dmax = data["scores"].shape
     out = {}
     for name, over in variants.items():
@@ -215,6 +255,12 @@ def main() -> int:
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--match-iou", type=float, default=0.3)
+    p.add_argument("--dupkill", type=float, default=0.0,
+                   help="include duplicate-track-kill variants at this "
+                        "IoMin threshold")
+    p.add_argument("--dedup-iomin", type=float, default=0.0,
+                   help="pre-tracker containment suppression threshold "
+                        "(offline stand-in for an NMS containment term)")
     p.add_argument("--reacquire", action="store_true",
                    help="include lost-reacquisition variants (requires the "
                         "device tracker knob)")

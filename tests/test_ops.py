@@ -124,6 +124,30 @@ class TestNMS:
         )
         assert int(det2.valid.sum()) == 1
 
+    def test_containment_suppresses_partial_duplicate(self):
+        """A torso box inside a full-body box of the same class survives
+        pure-IoU NMS (IoU under the gate) but dies under the containment
+        term; different-class and low-containment boxes are untouched."""
+        full = [0.0, 0, 40, 100]     # full-body
+        torso = [2.0, 5, 38, 48]     # inside full: IoU ~0.42, IoMin ~0.97
+        apart = [100.0, 0, 140, 100]
+        boxes = jnp.asarray([full, torso, apart])
+        scores = jnp.asarray([0.9, 0.7, 0.8])
+        det = nms(boxes, scores, jnp.asarray([0, 0, 0]),
+                  score_threshold=0.1, iou_threshold=0.45,
+                  pre_topk=3, max_det=3)
+        assert int(det.valid.sum()) == 3  # pure IoU: duplicate survives
+        det2 = nms(boxes, scores, jnp.asarray([0, 0, 0]),
+                   score_threshold=0.1, iou_threshold=0.45,
+                   containment_threshold=0.5, pre_topk=3, max_det=3)
+        kept = np.sort(np.asarray(det2.scores)[np.asarray(det2.valid)])
+        np.testing.assert_allclose(kept, [0.8, 0.9], atol=1e-6)
+        # class-aware: cross-class containment is NOT suppressed
+        det3 = nms(boxes, scores, jnp.asarray([0, 1, 0]),
+                   score_threshold=0.1, iou_threshold=0.45,
+                   containment_threshold=0.5, pre_topk=3, max_det=3)
+        assert int(det3.valid.sum()) == 3
+
     def test_score_threshold_and_padding(self):
         boxes = jnp.asarray([[0.0, 0, 10, 10], [20, 20, 30, 30]])
         scores = jnp.asarray([0.9, 0.05])
