@@ -239,6 +239,17 @@ class SyntheticRinkDataset:
         # trained on the sterile default and collapsed out of
         # distribution (generator-B PCK 0.056 vs 1.0 in-distribution);
         # deployed frames always carry this clutter.
+        # rich ALSO mixes the camera family 50/50 trapezoid/pinhole
+        # (round 4): the legacy trapezoid maps the rink window's
+        # top/bottom edges to horizontal image lines — pure vertical
+        # perspective — while real broadcast (and generator-B) cameras
+        # are oblique. Measured on the shipped model
+        # (scripts/diag_rink_b.py, logs/diag_rink_b.json): sterile
+        # renders score PCK 0.40 on the trapezoid family vs 0.039 on
+        # pinhole homographies; the style cross adds nothing (0.039) —
+        # the homography FAMILY is the OOD gap. rich=False keeps the
+        # legacy trapezoid-only sampling so existing val pools stay
+        # comparable across rounds.
         self.rich = rich
 
     def __len__(self) -> int:
@@ -251,30 +262,34 @@ class SyntheticRinkDataset:
 
         rng = np.random.default_rng(self.seed * 99991 + idx)
         s = self.imgsz
-        # random camera: a WINDOW of the rink -> jittered trapezoid.
-        # Broadcast cameras rarely frame the whole rink; a model trained
-        # only on full-rink views regresses keypoints toward the memorized
-        # full-rink layout on windowed frames (measured: 88 px mean
-        # keypoint error / 16 ft homography error on span-0.82..0.95
-        # clips while full-rink PCK was 1.0 — scripts/diag_homography.py)
-        d = self.rink
-        # 0.42 lower bound covers the e2e harness's windowed-camera family
-        # (--span 0.45,0.7, scripts/e2e_homography.py); the round-3 value
-        # (0.55) left 0.45-0.55 windows out of distribution
-        f = rng.uniform(0.42, 1.0)          # visible fraction of length
-        x0 = rng.uniform(0.0, d.length * (1.0 - f))
-        x1 = x0 + f * d.length
-        rink_corners = np.asarray(
-            [[x0, 0], [x1, 0], [x0, d.width], [x1, d.width]], np.float64)
-        top_y = rng.uniform(0.03, 0.25) * s
-        bot_y = rng.uniform(0.75, 1.25) * s  # near boards may fall below
-        top_inset = rng.uniform(0.04, 0.22) * s
-        bot_outset = rng.uniform(-0.02, 0.25) * s  # ... and outside
-        img_corners = np.asarray([
-            [top_inset, top_y], [s - top_inset, top_y],
-            [-bot_outset, bot_y], [s + bot_outset, bot_y],
-        ], np.float64)
-        h = dlt_homography(rink_corners, img_corners)  # rink -> image
+        front = None
+        if self.rich and rng.uniform() < 0.5:
+            h, front = self._pinhole_camera(rng, s)
+        else:
+            # random camera: a WINDOW of the rink -> jittered trapezoid.
+            # Broadcast cameras rarely frame the whole rink; a model trained
+            # only on full-rink views regresses keypoints toward the memorized
+            # full-rink layout on windowed frames (measured: 88 px mean
+            # keypoint error / 16 ft homography error on span-0.82..0.95
+            # clips while full-rink PCK was 1.0 — scripts/diag_homography.py)
+            d = self.rink
+            # 0.42 lower bound covers the e2e harness's windowed-camera family
+            # (--span 0.45,0.7, scripts/e2e_homography.py); the round-3 value
+            # (0.55) left 0.45-0.55 windows out of distribution
+            f = rng.uniform(0.42, 1.0)          # visible fraction of length
+            x0 = rng.uniform(0.0, d.length * (1.0 - f))
+            x1 = x0 + f * d.length
+            rink_corners = np.asarray(
+                [[x0, 0], [x1, 0], [x0, d.width], [x1, d.width]], np.float64)
+            top_y = rng.uniform(0.03, 0.25) * s
+            bot_y = rng.uniform(0.75, 1.25) * s  # near boards may fall below
+            top_inset = rng.uniform(0.04, 0.22) * s
+            bot_outset = rng.uniform(-0.02, 0.25) * s  # ... and outside
+            img_corners = np.asarray([
+                [top_inset, top_y], [s - top_inset, top_y],
+                [-bot_outset, bot_y], [s + bot_outset, bot_y],
+            ], np.float64)
+            h = dlt_homography(rink_corners, img_corners)  # rink -> image
         pts = project(h, self.table.astype(np.float64))  # (56, 2)
 
         if self.rich:
@@ -303,6 +318,11 @@ class SyntheticRinkDataset:
 
         vis = ((pts[:, 0] >= 0) & (pts[:, 0] < s)
                & (pts[:, 1] >= 0) & (pts[:, 1] < s))
+        if front is not None:
+            # pinhole cameras have a real horizon: plane points behind
+            # the camera project mirrored back into the frame — without
+            # the cheirality mask they would become poisoned labels
+            vis &= front
         kpts = np.zeros((self.max_gt, 56, 3), np.float32)
         kpts[0, :, :2] = pts
         kpts[0, :, 2] = vis
@@ -321,6 +341,55 @@ class SyntheticRinkDataset:
         return {"images": img.astype(np.float32) / 255.0, "boxes": boxes,
                 "classes": classes, "mask": mask,
                 "keypoints": kpts}
+
+    def _pinhole_camera(self, rng: np.random.Generator, s: int
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """Oblique 3D pinhole rink camera (round 4). Parameterized by
+        explicit elevation/azimuth/roll angles — deliberately a different
+        parameterization from generator B's position/look-at camera
+        (scenes_b._Camera has no roll and sits strictly behind the y<0
+        boards), so generator B remains a valid OOD probe while training
+        covers the oblique-homography family the legacy trapezoid misses
+        (the trapezoid maps the rink window's top/bottom edges to
+        horizontal image lines; measured collapse: PCK 0.40 trapezoid vs
+        0.039 pinhole on identical sterile styles, logs/diag_rink_b.json).
+        Returns (rink->image homography (3,3), front-of-camera mask (56,))."""
+        d = self.rink
+        L, W = d.length, d.width
+        tx = rng.uniform(0.10 * L, 0.90 * L)    # window center on the ice
+        ty = rng.uniform(0.20 * W, 0.80 * W)
+        f = rng.uniform(0.42, 1.05)             # visible fraction of length
+        elev = np.deg2rad(rng.uniform(7.0, 45.0))
+        azim = np.deg2rad(rng.uniform(-30.0, 30.0))  # off-perpendicular
+        roll = np.deg2rad(rng.uniform(-7.0, 7.0))
+        r = rng.uniform(45.0, 180.0)            # slant distance (ft)
+        cam = np.asarray([tx + r * np.cos(elev) * np.sin(azim),
+                          ty - r * np.cos(elev) * np.cos(azim),
+                          r * np.sin(elev)], np.float64)
+        fwd = np.asarray([tx, ty, 0.0]) - cam
+        fwd /= np.linalg.norm(fwd)
+        up = np.asarray([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        cr, sr = np.cos(roll), np.sin(roll)
+        right, down = cr * right + sr * down, -sr * right + cr * down
+        rot = np.stack([right, down, fwd])      # world -> camera rows
+        # focal: fit the f*L-long window to roughly the frame width
+        half = 0.5 * f * L
+        ends = np.asarray([[tx - half, ty, 0.0], [tx + half, ty, 0.0]])
+        pc = (ends - cam) @ rot.T
+        span = max(float(np.abs(pc[:, 0] / np.maximum(pc[:, 2], 1e-6)).max()),
+                   1e-6)
+        fx = fy = 0.5 * s / span * rng.uniform(0.85, 1.15)
+        k = np.asarray([[fx, 0.0, s / 2.0], [0.0, fy, s / 2.0],
+                        [0.0, 0.0, 1.0]])
+        h = k @ np.stack([rot[:, 0], rot[:, 1], -rot @ cam], axis=1)
+        table3 = np.concatenate(
+            [self.table.astype(np.float64),
+             np.zeros((len(self.table), 1))], axis=1)
+        front = ((table3 - cam) @ rot.T)[:, 2] > 1e-6
+        return h, front
 
     def _rich_scene(self, rng: np.random.Generator, s: int, h, pts
                     ) -> np.ndarray:
