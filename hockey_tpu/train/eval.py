@@ -269,3 +269,44 @@ class InTrainingEvaluator:
                 acc.add_image(boxes[j][v], scores[j][v], classes[j][v],
                               it["boxes"][gt_m], it["classes"][gt_m])
         return acc.compute()
+
+
+class InTrainingPoseEvaluator:
+    """Periodic keypoint evaluation during pose (rink) training — the PCK
+    analogue of InTrainingEvaluator, with ONE compiled pose-detect program
+    reused across evals. Without this the pose path had no in-loop val at
+    all, so --val-every was inert and no `.best` checkpoint was ever
+    banked for rink models (long CPU fine-tunes kept only their final
+    step). Banks on PCK@0.05, val.py's headline pose metric."""
+
+    BATCH = 8
+
+    def __init__(self, cfg, imgsz: int, conf: float = 0.001):
+        from ..models.detector import build_detect_fn
+
+        self.cfg = cfg
+        self.imgsz = imgsz
+        self._fn = build_detect_fn(
+            cfg, imgsz=imgsz, frame_hw=(imgsz, imgsz), conf=conf,
+            rect=False, max_det=8, pre_topk=64, with_keypoints=True)
+
+    def evaluate(self, params, dataset, indices: Sequence[int]) -> Dict[str, float]:
+        from ..models.layers import fuse_for_inference
+
+        fused = fuse_for_inference(params)
+        acc = PoseEvalAccumulator()
+        idx = list(indices)
+        for k in range(0, len(idx), self.BATCH):
+            chunk = idx[k: k + self.BATCH]
+            items = [dataset.load(int(i)) for i in chunk]
+            imgs = np.stack([(it["images"] * 255).astype(np.uint8)
+                             for it in items])
+            if len(chunk) < self.BATCH:  # static shapes: pad the tail
+                pad = np.repeat(imgs[-1:], self.BATCH - len(chunk), 0)
+                imgs = np.concatenate([imgs, pad])
+            _, kpts = self._fn(fused, imgs)
+            kpts = np.asarray(kpts)
+            for j, it in enumerate(items):
+                acc.add_image(kpts[j], it["keypoints"][0],
+                              (self.imgsz, self.imgsz))
+        return acc.compute()

@@ -113,6 +113,14 @@ def main(argv=None) -> int:
 
         dataset = SyntheticRinkDataset(imgsz=args.imgsz, seed=args.seed,
                                        rich=args.domain_rand)
+        if args.val_every:
+            # held-out seed stream; rich matches training so the banked
+            # best reflects the camera/style families actually trained
+            # (e.g. the round-4 pinhole family), not only the sterile
+            # trapezoid pool
+            val_dataset = SyntheticRinkDataset(
+                imgsz=args.imgsz, seed=args.seed + 7777,
+                rich=args.domain_rand)
         print("dataset: synthetic rink views (pose model, no --images, "
               f"rich={args.domain_rand})")
     elif args.dataset in ("hard", "hard-puck") or (
@@ -182,9 +190,14 @@ def main(argv=None) -> int:
 
     evaluator = None
     if args.val_every and val_dataset is not None:
-        from .eval import InTrainingEvaluator
+        if cfg.num_keypoints:
+            from .eval import InTrainingPoseEvaluator
 
-        evaluator = InTrainingEvaluator(cfg, imgsz=args.imgsz)
+            evaluator = InTrainingPoseEvaluator(cfg, imgsz=args.imgsz)
+        else:
+            from .eval import InTrainingEvaluator
+
+            evaluator = InTrainingEvaluator(cfg, imgsz=args.imgsz)
     best_map = -1.0
 
     # precise-BN: recalibrate running stats on clean train-distribution
@@ -212,17 +225,25 @@ def main(argv=None) -> int:
     def run_val(i, cur_params):
         nonlocal best_map
         cur_params = prep_ckpt(cur_params)
+        # detection val pools are sized pool_size=val_size, so min() is a
+        # no-op there; the synthetic rink dataset is virtually infinite
+        # (len 1<<30) and needs the explicit cap
         m = evaluator.evaluate(cur_params, val_dataset,
-                               range(len(val_dataset)))
+                               range(min(len(val_dataset), args.val_size)))
+        score_key = "pck" if "pck" in m else "mAP50"
         tag = ""
-        if m["mAP50"] > best_map:
-            best_map = m["mAP50"]
+        if m[score_key] > best_map:
+            best_map = m[score_key]
             save_params(args.out + ".best", cur_params)
             tag = " (best, saved)"
-        per_cls = " ".join(f"{k}={v:.3f}" for k, v in m.items()
-                           if k.startswith("AP50_class"))
-        print(f"step {i:6d} VAL mAP50 {m['mAP50']:.4f} "
-              f"mAP50-95 {m['mAP50_95']:.4f} {per_cls}{tag}", flush=True)
+        if score_key == "pck":
+            print(f"step {i:6d} VAL PCK@0.05 {m['pck']:.4f} "
+                  f"kpt_err {m['mean_kpt_error_px']:.2f}px{tag}", flush=True)
+        else:
+            per_cls = " ".join(f"{k}={v:.3f}" for k, v in m.items()
+                               if k.startswith("AP50_class"))
+            print(f"step {i:6d} VAL mAP50 {m['mAP50']:.4f} "
+                  f"mAP50-95 {m['mAP50_95']:.4f} {per_cls}{tag}", flush=True)
 
     if args.device_data and mesh is None:
         # device-resident pipeline: pool staged in HBM once, augmentation
@@ -304,7 +325,7 @@ def main(argv=None) -> int:
         if evaluator is not None:
             run_val(args.steps, ckpt_params)
         save_params(args.out, prep_ckpt(ckpt_params))
-        print(f"saved {args.out} (best mAP50 {best_map:.4f})"
+        print(f"saved {args.out} (best val {best_map:.4f})"
               if best_map >= 0 else f"saved {args.out}")
         return 0
 
@@ -361,7 +382,7 @@ def main(argv=None) -> int:
     if evaluator is not None:
         run_val(args.steps, ckpt_params)
     save_params(args.out, prep_ckpt(ckpt_params))
-    print(f"saved {args.out} (best mAP50 {best_map:.4f})" if best_map >= 0
+    print(f"saved {args.out} (best val {best_map:.4f})" if best_map >= 0
           else f"saved {args.out}")
     return 0
 

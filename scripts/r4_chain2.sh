@@ -27,14 +27,18 @@ timeout 5400 python scripts/e2e_puck.py --cpu --frames 96 --generator b \
   --checkpoint checkpoints/puck_s_dl.msgpack.best 2>/dev/null | tail -1 \
   | tee logs/e2e_puck_dl_b.json
 echo "=== rink pinhole fine-tune (384, init shipped window model)"
+# 1400 steps at the measured ~18 s/step (logs/rink_s_w_cpu3.log) ~= 7 h;
+# in-loop PCK val every 200 steps banks .best (train/eval.py
+# InTrainingPoseEvaluator — before round 4 the pose path had no val at
+# all and .best never existed)
 python - <<'PYEOF'
 import sys; sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_platforms", "cpu")
 from hockey_tpu.train.loop import main
 main(["--model", "hockey-detection", "--variant", "s", "--imgsz", "384",
-      "--domain-rand", "--steps", "2500", "--batch", "8", "--lr", "0.001",
-      "--ema", "0.999", "--val-every", "250", "--val-size", "48",
+      "--domain-rand", "--steps", "1400", "--batch", "8", "--lr", "0.001",
+      "--ema", "0.999", "--val-every", "200", "--val-size", "48",
       "--init", "checkpoints/rink_s_w_cpu3.msgpack",
       "--out", "checkpoints/rink_s_ph.msgpack"])
 PYEOF
