@@ -113,6 +113,16 @@ class Config:
     # above this (device tracker stage; 0 = stock ByteTrack, which only
     # dedups at IoU > 0.85). See tracking/device_tracker.py docstring.
     duplicate_kill_iomin: float = 0.55
+    # kill a LOST younger track coasting inside a TRACKED older same-class
+    # track at IoMin above this (0 = off). duplicate_kill_iomin only fires
+    # when both tracks are TRACKED in the same frame; the measured OOD
+    # failure mode is ALTERNATION (the detector flickers between torso and
+    # full-body extents, each sustaining its own track — one tracked, one
+    # lost each frame, the emitted id oscillating). Offline A/B on saved
+    # detection dumps (scripts/diag_track_b.py): generator-B switches
+    # 247 -> 123 with precision 0.776 -> 0.825; in-dist switches 52 -> 2
+    # with id_stability 0.9 -> 1.0 (occlusion relinks were NOT harmed).
+    lost_dup_kill_iomin: float = 0.55
     max_tracks: int = 128              # padded track-table capacity
     compute_dtype: str = "bfloat16"
     # on-device tracker (tracking/device_tracker.py): association runs as

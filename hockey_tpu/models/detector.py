@@ -323,6 +323,7 @@ class Detector:
                                       * c.lost_track_buffer),
                     min_consecutive=c.minimum_consecutive_frames,
                     duplicate_kill_iomin=c.duplicate_kill_iomin,
+                    lost_dup_kill_iomin=c.lost_dup_kill_iomin,
                 ),
                 imgsz=self.imgsz,
                 frame_hw=self.frame_hw,

@@ -140,6 +140,8 @@ def _tracker_step_impl(
     min_consecutive: int = 2,
     lost_reacquire_floor: float = 0.0,
     duplicate_kill_iomin: float = 0.0,
+    lost_dup_kill_iomin: float = 0.0,
+    init_contain_veto: float = 0.0,
 ) -> Tuple[TrackState, jnp.ndarray]:
     """One frame. Returns (new_state, det_track_ids (D,) int32; -1 where
     the detection did not acquire an emittable track).
@@ -156,6 +158,32 @@ def _tracker_step_impl(
     in-dist is 1.0). Re-acquisition never CREATES tracks — initiation
     stays at the reference's threshold (hockey/main.py:179-192 parity) —
     it only re-links existing identity. See COMPAT.md.
+
+    `lost_dup_kill_iomin` > 0 kills a LOST track whose predicted box is
+    contained (intersection-over-min-area above the threshold) in an
+    OLDER (smaller id) TRACKED same-class track. Complements
+    `duplicate_kill_iomin`, which requires both tracks to be TRACKED in
+    the same frame and so never fires on the measured OOD alternation
+    mode: the detector flickers between a torso box and a full-body box
+    on the same player, each extent sustaining its own track while the
+    other coasts as LOST, and the emitted id oscillates (generator-B
+    diagnosis: 216 of 234 switches were contiguous alternation between
+    two coexisting tracks on one actor, not gap restarts or crossing
+    swaps). Killing the younger of the pair whenever it coasts on top of
+    the older converges the identity within a frame or two; genuine
+    occlusions are the risk (the occludee coasts under the occluder), so
+    the in-dist cost is measured before shipping a default (see
+    scripts/diag_track_b.py sweep).
+
+    `init_contain_veto` > 0 vetoes NEW-track initiation for an unmatched
+    high detection whose box is contained (intersection-over-min-area
+    above the threshold) in any ACTIVE same-class track's box: such a
+    detection is ambiguous evidence — a duplicate extent hypothesis for
+    an already-tracked player — and every id it births is either killed
+    by the duplicate rules a frame later or steals one greedy match from
+    the real identity (both produce a measured switch). It can only delay
+    a genuinely NEW player's id while the player overlaps an existing
+    track, which costs frames of coverage, never identity.
 
     `duplicate_kill_iomin` > 0 enables duplicate-track suppression
     (0 = exact ByteTrack): a tracked track whose box intersects an
@@ -230,6 +258,19 @@ def _tracker_step_impl(
     det_taken = det_taken.at[jnp.where(m2, a2, d)].set(True, mode="drop")
     det_taken = det_taken.at[jnp.where(m3, a3, d)].set(True, mode="drop")
     new_det = high & ~det_taken                              # (D,)
+    if init_contain_veto > 0.0:  # static branch (see docstring)
+        tb_now = _xyah_to_xyxy(mean)
+        tl_td = jnp.maximum(tb_now[:, None, :2], boxes[None, :, :2])
+        br_td = jnp.minimum(tb_now[:, None, 2:], boxes[None, :, 2:])
+        inter_td = jnp.prod(jnp.clip(br_td - tl_td, 0.0, None), -1)
+        ta = jnp.prod(jnp.clip(tb_now[:, 2:] - tb_now[:, :2], 0.0, None), -1)
+        da = jnp.prod(jnp.clip(boxes[:, 2:] - boxes[:, :2], 0.0, None), -1)
+        iomin_td = inter_td / jnp.maximum(
+            jnp.minimum(ta[:, None], da[None, :]), 1e-9)
+        contained = jnp.any(
+            (iomin_td > init_contain_veto) & active[:, None]
+            & (class_id[:, None] == classes[None, :]), axis=0)
+        new_det = new_det & ~contained
     free = ~active                                           # (T,)
     # rank free slots and new dets; pair k-th free slot with k-th new det
     free_rank = jnp.cumsum(free) - 1                         # rank among free
@@ -255,7 +296,8 @@ def _tracker_step_impl(
     score = jnp.where(takes, scores[slot_det], score)
     missed = jnp.where(takes, 0, missed)
 
-    if duplicate_kill_iomin > 0.0:  # static branch (see docstring)
+    if duplicate_kill_iomin > 0.0 or lost_dup_kill_iomin > 0.0:
+        # static branches (see docstring); shared pairwise containment
         tb = _xyah_to_xyxy(mean)
         tl = jnp.maximum(tb[:, None, :2], tb[None, :, :2])
         br = jnp.minimum(tb[:, None, 2:], tb[None, :, 2:])
@@ -263,16 +305,23 @@ def _tracker_step_impl(
         area = jnp.prod(jnp.clip(tb[:, 2:] - tb[:, :2], 0.0, None), -1)
         iomin = inter / jnp.maximum(
             jnp.minimum(area[:, None], area[None, :]), 1e-9)
+        younger = track_id[None, :] < track_id[:, None]
+        same_cls = class_id[:, None] == class_id[None, :]
+    if duplicate_kill_iomin > 0.0:
         live = active & tracked
         # one-shot: i dies if contained-with ANY older (smaller-id) live
         # same-class track — chains (A>B>C) over-kill at most one frame
-        dup = ((iomin > duplicate_kill_iomin)
-               & (track_id[None, :] < track_id[:, None])
-               & live[:, None] & live[None, :]
-               & (class_id[:, None] == class_id[None, :]))
+        dup = ((iomin > duplicate_kill_iomin) & younger
+               & live[:, None] & live[None, :] & same_cls)
         killed = jnp.any(dup, axis=1)
         active = active & ~killed
         tracked = tracked & ~killed
+    if lost_dup_kill_iomin > 0.0:
+        # i (LOST, younger) dies if covered by j (TRACKED, older)
+        dup = ((iomin > lost_dup_kill_iomin) & younger
+               & (active & ~tracked)[:, None]
+               & (active & tracked)[None, :] & same_cls)
+        active = active & ~jnp.any(dup, axis=1)
 
     new_state = TrackState(mean, cov, track_id, active, tracked,
                            consecutive, activated, missed, class_id, score,
@@ -297,7 +346,8 @@ tracker_step = functools.partial(
     jax.jit,
     static_argnames=("activation_thresh", "match_thresh", "low_gate",
                      "max_time_lost", "min_consecutive",
-                     "lost_reacquire_floor", "duplicate_kill_iomin"),
+                     "lost_reacquire_floor", "duplicate_kill_iomin",
+                     "lost_dup_kill_iomin", "init_contain_veto"),
 )(_tracker_step_impl)
 
 
@@ -342,6 +392,8 @@ class DeviceByteTrack:
                                        cfg.minimum_consecutive_frames),
             lost_reacquire_floor=kwargs.get("lost_reacquire_floor", 0.0),
             duplicate_kill_iomin=kwargs.get("duplicate_kill_iomin", 0.0),
+            lost_dup_kill_iomin=kwargs.get("lost_dup_kill_iomin", 0.0),
+            init_contain_veto=kwargs.get("init_contain_veto", 0.0),
         )
         self.state = init_state(capacity)
 

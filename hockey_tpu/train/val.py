@@ -36,7 +36,17 @@ def main(argv=None) -> int:
                    help="scene seed for --dataset hard (7777 = the "
                         "training loop's held-out split for --seed 0)")
     p.add_argument("--json", action="store_true", help="print metrics as JSON")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend in-process (plain "
+                        "JAX_PLATFORMS=cpu is ignored under the axon "
+                        "sitecustomize; required when the TPU tunnel is "
+                        "down or jax init hangs retrying it)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ..core.config import Config
     from ..models.detector import Detector

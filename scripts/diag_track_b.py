@@ -222,6 +222,22 @@ def sweep(args) -> int:
         variants["dupkill"] = {"duplicate_kill_iomin": args.dupkill}
         variants["dupkill_reacq"] = {"duplicate_kill_iomin": args.dupkill,
                                      "lost_reacquire_floor": 0.15}
+    if args.lostdup > 0:
+        # kills LOST younger tracks coasting inside a TRACKED older one —
+        # targets the measured alternation mode (torso/full-body extent
+        # flicker sustaining two tracks per actor)
+        for thr in (args.lostdup, 0.85):
+            variants[f"lostdup_{thr:g}"] = {"lost_dup_kill_iomin": thr}
+        variants["lostdup_full"] = {
+            "lost_dup_kill_iomin": args.lostdup,
+            "duplicate_kill_iomin": max(args.dupkill, 0.7),
+            "lost_reacquire_floor": 0.15}
+        for thr in (0.7, 0.85):
+            variants[f"veto_{thr:g}"] = {
+                "lost_dup_kill_iomin": args.lostdup,
+                "duplicate_kill_iomin": max(args.dupkill, 0.7),
+                "lost_reacquire_floor": 0.15,
+                "init_contain_veto": thr}
     n, dmax = data["scores"].shape
     out = {}
     for name, over in variants.items():
@@ -261,6 +277,10 @@ def main() -> int:
     p.add_argument("--dedup-iomin", type=float, default=0.0,
                    help="pre-tracker containment suppression threshold "
                         "(offline stand-in for an NMS containment term)")
+    p.add_argument("--lostdup", type=float, default=0.0,
+                   help="include lost-dup-kill variants at this IoMin "
+                        "threshold (kills LOST younger tracks covered by "
+                        "a TRACKED older same-class track)")
     p.add_argument("--reacquire", action="store_true",
                    help="include lost-reacquisition variants (requires the "
                         "device tracker knob)")

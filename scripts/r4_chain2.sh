@@ -14,18 +14,21 @@ cd /root/repo
 {
 echo "=== val puck_dl on held-out A (hard-puck, 640)"
 timeout 3600 python -m hockey_tpu.train.val --model hockey-puck-detection \
-  --checkpoint checkpoints/puck_s_dl.msgpack.best --dataset hard-puck \
+  --checkpoint checkpoints/puck_s_dl.msgpack.best --dataset hard-puck --cpu \
   --limit 100 --json > logs/val_puck_dl_a.json 2>/dev/null
 cat logs/val_puck_dl_a.json; echo
 echo "=== val puck_dl on generator B (OOD, 640)"
 timeout 3600 python -m hockey_tpu.train.val --model hockey-puck-detection \
-  --checkpoint checkpoints/puck_s_dl.msgpack.best --dataset hard-puck-b \
+  --checkpoint checkpoints/puck_s_dl.msgpack.best --dataset hard-puck-b --cpu \
   --limit 100 --json > logs/val_puck_dl_b.json 2>/dev/null
 cat logs/val_puck_dl_b.json; echo
 echo "=== e2e puck generator B (candidate puck_s_dl)"
 timeout 5400 python scripts/e2e_puck.py --cpu --frames 96 --generator b \
   --checkpoint checkpoints/puck_s_dl.msgpack.best 2>/dev/null | tail -1 \
   | tee logs/e2e_puck_dl_b.json
+echo "=== e2e quality generator B (lost-dup-kill tracker default)"
+timeout 3600 python scripts/e2e_quality.py --cpu --frames 96 --generator b \
+  --match-iou 0.3 2>/dev/null | tail -1 | tee logs/e2e_quality_b.json
 echo "=== rink pinhole fine-tune (384, init shipped window model)"
 # 1400 steps at the measured ~18 s/step (logs/rink_s_w_cpu3.log) ~= 7 h;
 # in-loop PCK val every 200 steps banks .best (train/eval.py
@@ -46,12 +49,12 @@ echo "rink pinhole fine-tune exit: $?"
 echo "=== val rink_ph in-dist (sterile windowed trapezoid, 384)"
 timeout 2400 python -m hockey_tpu.train.val --model hockey-detection \
   --variant s --checkpoint checkpoints/rink_s_ph.msgpack.best --imgsz 384 \
-  --limit 100 --json > logs/val_rink_ph_a.json 2>/dev/null
+  --cpu --limit 100 --json > logs/val_rink_ph_a.json 2>/dev/null
 cat logs/val_rink_ph_a.json; echo
 echo "=== val rink_ph on generator B (OOD, 384)"
 timeout 2400 python -m hockey_tpu.train.val --model hockey-detection \
   --variant s --checkpoint checkpoints/rink_s_ph.msgpack.best --imgsz 384 \
-  --dataset rink-b --limit 60 --json > logs/val_rink_ph_b.json 2>/dev/null
+  --cpu --dataset rink-b --limit 60 --json > logs/val_rink_ph_b.json 2>/dev/null
 cat logs/val_rink_ph_b.json; echo
 echo "=== e2e homography A (candidate, harness defaults)"
 timeout 7200 python scripts/e2e_homography.py --cpu \
