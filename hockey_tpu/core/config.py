@@ -119,9 +119,11 @@ class Config:
     # failure mode is ALTERNATION (the detector flickers between torso and
     # full-body extents, each sustaining its own track — one tracked, one
     # lost each frame, the emitted id oscillating). Offline A/B on saved
-    # detection dumps (scripts/diag_track_b.py): generator-B switches
-    # 247 -> 123 with precision 0.776 -> 0.825; in-dist switches 52 -> 2
-    # with id_stability 0.9 -> 1.0 (occlusion relinks were NOT harmed).
+    # detection dumps replaying the full shipped wiring (NMS containment
+    # 0.5 + match gate 0.95 + duplicate_kill 0.55; scripts/
+    # diag_track_b.py): generator-B switches 80 -> 23 with id_stability
+    # 0.667 -> 0.778; in-dist switches 42 -> 2 with id_stability
+    # 0.9 -> 1.0 (occlusion relinks were NOT harmed — unit-tested).
     lost_dup_kill_iomin: float = 0.55
     max_tracks: int = 128              # padded track-table capacity
     compute_dtype: str = "bfloat16"
