@@ -114,6 +114,21 @@ def sample_style(rng: np.random.Generator) -> Dict:
         "dark_limbs": rng.uniform() < 0.5,   # arm capsules in glove color
         "limb_w": rng.uniform(1.0, 3.2),     # arm thickness family
         "mitt_merge": rng.uniform() < 0.6,   # mitt continuous with arm
+        # round-4 body-shape family: generator B composes people from
+        # rotated ellipses and round-capped capsules (articulated legs
+        # with knees, elliptical torso), while every A silhouette is a
+        # stacked trapezoid. The mismatch is the common root of the two
+        # open OOD gaps measured this round: the puck detector fires on
+        # B's capsule mitts because no *training* body ever presented a
+        # free-standing capsule limb (dark-limb fine-tune on trapezoid
+        # bodies: B mAP50 0.100, logs/val_puck_dl_b.json), and the
+        # player head regresses noisy extents on unfamiliar rounded
+        # silhouettes (box jitter -> id switches, logs/e2e_quality_b).
+        # ~half of styled scenes now draw fully articulated
+        # ellipse/capsule bodies (independent parameterization,
+        # _draw_player_capsule) so "person" spans both silhouette
+        # families. Generator B stays unseen eval-only code.
+        "body_capsule": rng.uniform() < 0.45,
     }
 
 
@@ -129,6 +144,13 @@ def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
     renders are NOT bit-identical to the round-2 renderer — round-2
     checkpoints were re-scored on the current renderer before comparison."""
     import cv2
+
+    if style is not None and style.get("body_capsule"):
+        # round-4 body-shape family (see sample_style): delegate before
+        # any rng draw so non-capsule styles keep their exact sequences
+        return _draw_player_capsule(img, foot, hpx, jersey, pants, rng,
+                                    number=number, is_goalie=is_goalie,
+                                    ghost=ghost, style=style)
 
     fx, fy = foot
     lean = rng.uniform(-0.12, 0.12)  # skating lean, shifts the top
@@ -292,6 +314,179 @@ def _draw_player(img, foot: Tuple[float, float], hpx: float, jersey, pants,
 
     e = np.asarray(ext, np.float32)
     return [float(e[:, 0].min()), float(e[:, 1].min()),
+            float(e[:, 2].max()), float(e[:, 3].max())]
+
+
+def _draw_player_capsule(img, foot: Tuple[float, float], hpx: float,
+                         jersey, pants, rng: np.random.Generator,
+                         number: Optional[int] = None,
+                         is_goalie: bool = False, ghost: bool = False,
+                         style: Optional[Dict] = None) -> List[float]:
+    """Articulated ellipse/capsule figure (round-4 body-shape family).
+
+    Same contract as _draw_player: draws at `foot` (bottom-center),
+    `hpx` tall, returns the body extent [x1, y1, x2, y2] (stick
+    excluded). Proportions and articulation are an independent
+    parameterization — generator B (scenes_b.py) remains unseen
+    eval-only code. The contextual puck hard negatives (stick blade,
+    skate blades, shape-randomized mitts) carry over so the capsule
+    family trains the same "dark blob attached to a body is not a
+    puck" prior the trapezoid family does."""
+    import cv2
+
+    fx, fy = foot
+    slope = rng.uniform(-0.16, 0.16)        # skating lean (top shift/h)
+    bw = hpx * (0.56 if is_goalie else 0.40) * rng.uniform(0.88, 1.18)
+    if style is not None:
+        bw *= style["wmul"]
+    top = fy - hpx
+    skin = (int(rng.uniform(120, 200)),) * 3
+    dark = (24, 24, 28)
+    leg = pants if is_goalie else (38, 38, 42)
+
+    def at(up: float, dx: float = 0.0) -> Tuple[float, float]:
+        """Point `up` body-fractions above the feet, lean applied."""
+        return fx + slope * up * hpx + dx, fy - up * hpx
+
+    def cap(p0, p1, w, color):
+        """Round-capped thick segment (capsule)."""
+        cv2.line(img, (int(p0[0]), int(p0[1])), (int(p1[0]), int(p1[1])),
+                 color, max(int(w), 1), lineType=cv2.LINE_AA)
+
+    alpha_img = img.copy() if ghost else None
+    ext: List[List[float]] = []
+
+    # stick (behind the body; excluded from the extent box)
+    if not is_goalie and rng.uniform() < 0.9:
+        hold = at(0.40, rng.choice([-1, 1]) * bw * 0.6)
+        sx = fx + rng.choice([-1, 1]) * rng.uniform(0.3, 0.9) * hpx
+        sy = fy - rng.uniform(-0.02, 0.08) * hpx
+        stick = dark
+        if rng.uniform() < 0.5:
+            sg = int(rng.uniform(30, 90))
+            stick = (sg, int(sg * rng.uniform(1.0, 1.3)),
+                     int(sg * rng.uniform(1.0, 1.4)))
+        cap(hold, (sx, sy), hpx * 0.03, stick)
+        if rng.uniform() < 0.8:  # stick-blade hard negative
+            cv2.ellipse(img, (int(sx), int(sy)),
+                        (max(int(hpx * 0.045), 1), max(int(hpx * 0.02), 1)),
+                        0, 0, 360, dark, -1, lineType=cv2.LINE_AA)
+
+    # legs: thigh + shin capsules with a knee bend, per side
+    hip_y = 0.53
+    stance = rng.uniform(0.18, 0.55) * bw
+    for side, sxo in ((-1, fx - stance), (1, fx + stance)):
+        hip = at(hip_y, side * bw * 0.20)
+        knee = ((hip[0] + sxo) / 2 + rng.uniform(-0.06, 0.06) * bw,
+                fy - rng.uniform(0.22, 0.30) * hpx)
+        boot = (sxo, fy - 0.04 * hpx)
+        cap(hip, knee, bw * 0.32, leg)
+        cap(knee, boot, bw * 0.27, leg)
+        cv2.ellipse(img, (int(sxo), int(fy - 0.035 * hpx)),
+                    (max(int(bw * 0.24), 1), max(int(hpx * 0.04), 1)),
+                    0, 0, 360, dark, -1, lineType=cv2.LINE_AA)
+        # skate-blade sliver (hard-negative family)
+        cv2.ellipse(img, (int(sxo), int(fy)),
+                    (max(int(bw * 0.2), 1), max(int(hpx * 0.012), 1)),
+                    0, 0, 360, (15, 14, 14), -1, lineType=cv2.LINE_AA)
+        ext.append([sxo - bw * 0.32, fy - 0.32 * hpx, sxo + bw * 0.32, fy])
+    if is_goalie and (style is None or style["goalie_pads"]
+                      or rng.uniform() < 0.5):
+        pad = (int(rng.uniform(185, 245)),) * 3
+        for sxo in (fx - stance, fx + stance):
+            cap((sxo, fy - 0.46 * hpx), (sxo, fy - 0.05 * hpx),
+                bw * 0.40, pad)
+
+    # hips ellipse, then torso as a lean-rotated ellipse
+    hc = at(0.50)
+    cv2.ellipse(img, (int(hc[0]), int(hc[1])),
+                (max(int(bw * 0.58), 1), max(int(hpx * 0.11), 1)),
+                np.degrees(np.arctan(slope)) * 0.5, 0, 360, pants, -1,
+                lineType=cv2.LINE_AA)
+    ext.append([hc[0] - bw * 0.58, hc[1] - 0.11 * hpx,
+                hc[0] + bw * 0.58, hc[1] + 0.11 * hpx])
+    tc = at(0.66)
+    ta = max(int(bw * 0.68), 1)
+    tb = max(int(hpx * rng.uniform(0.19, 0.24)), 2)
+    cv2.ellipse(img, (int(tc[0]), int(tc[1])), (ta, tb),
+                90 + np.degrees(np.arctan(slope)), 0, 360, jersey, -1,
+                lineType=cv2.LINE_AA)
+    ext.append([tc[0] - tb, tc[1] - tb, tc[0] + tb, tc[1] + tb])
+
+    # arms: shoulder->elbow capsule (jersey), elbow->mitt (dark-limb
+    # family), mitt blob from the shared shape-randomized negatives
+    dark_limbs = style is not None and style["dark_limbs"]
+    limb_w = 1.0 if style is None else style["limb_w"]
+    sh = at(0.80)
+    for side in (-1, 1):
+        elbow = (sh[0] + side * bw * rng.uniform(0.55, 1.0),
+                 sh[1] + rng.uniform(0.04, 0.22) * hpx)
+        mitt = (elbow[0] + side * bw * rng.uniform(0.0, 0.45),
+                elbow[1] + rng.uniform(0.0, 0.14) * hpx)
+        if dark_limbs:
+            lg = int(rng.uniform(12, 45))
+            arm_color = (lg, lg, int(lg * rng.uniform(0.9, 1.3)))
+            th = bw * 0.28 * min(limb_w, 2.0)
+            cap((sh[0] + side * bw * 0.28, sh[1]), elbow, th, arm_color)
+            cap(elbow, mitt, th, arm_color)
+            gc = arm_color
+        else:
+            cap((sh[0] + side * bw * 0.28, sh[1]), elbow, bw * 0.28, jersey)
+            gl = int(rng.uniform(14, 40))
+            gc = (gl, gl, gl)
+            cap(elbow, mitt, bw * 0.24, gc)
+        if rng.uniform() < 0.85:  # mitt blob (hard-negative family)
+            gx, gy = int(mitt[0]), int(mitt[1])
+            r = max(int(hpx * rng.uniform(0.03, 0.08)), 1)
+            shape = rng.uniform()
+            if dark_limbs and style["mitt_merge"]:
+                d = np.asarray(mitt) - np.asarray(elbow)
+                nrm = float(np.linalg.norm(d)) + 1e-6
+                tip = np.asarray(mitt) + d / nrm * r * rng.uniform(1.0, 2.2)
+                cv2.line(img, (gx, gy), (int(tip[0]), int(tip[1])), gc,
+                         max(int(r * rng.uniform(1.6, 2.6)), 2),
+                         lineType=cv2.LINE_AA)
+            elif shape < 0.35:
+                cv2.circle(img, (gx, gy), r, gc, -1, lineType=cv2.LINE_AA)
+            elif shape < 0.75:
+                ang = rng.uniform(0, np.pi)
+                dx = np.cos(ang) * r * rng.uniform(0.8, 1.8)
+                dy = np.sin(ang) * r * rng.uniform(0.4, 1.0)
+                cv2.line(img, (int(gx - dx), int(gy - dy)),
+                         (int(gx + dx), int(gy + dy)), gc,
+                         max(2 * r, 1), lineType=cv2.LINE_AA)
+            else:
+                cv2.ellipse(img, (gx, gy),
+                            (max(int(r * rng.uniform(1.2, 1.8)), 1),
+                             max(int(r * rng.uniform(0.5, 0.9)), 1)),
+                            rng.uniform(0, 180), 0, 360, gc, -1,
+                            lineType=cv2.LINE_AA)
+        ext.append([min(sh[0], mitt[0]) - bw * 0.2, sh[1] - bw * 0.2,
+                    max(sh[0], mitt[0]) + bw * 0.2, mitt[1] + bw * 0.2])
+
+    # head + helmet
+    hd = at(0.915)
+    hr = max(hpx * 0.08, 1.5)
+    cv2.circle(img, (int(hd[0]), int(hd[1])), int(hr), skin, -1,
+               lineType=cv2.LINE_AA)
+    cv2.ellipse(img, (int(hd[0]), int(hd[1] - hr * 0.25)),
+                (int(max(hr * 1.05, 1)), int(max(hr * 0.85, 1))), 0, 180,
+                360, dark if rng.uniform() < 0.8 else (180, 30, 30), -1,
+                lineType=cv2.LINE_AA)
+    ext.append([hd[0] - hr * 1.1, top, hd[0] + hr * 1.1, hd[1] + hr])
+
+    if number is not None and hpx > 26:
+        scale = hpx / 110.0
+        cv2.putText(img, str(number),
+                    (int(tc[0] - bw * 0.30), int(tc[1] + tb * 0.30)),
+                    cv2.FONT_HERSHEY_SIMPLEX, scale,
+                    (255, 255, 255) if sum(jersey) < 380 else (20, 20, 20),
+                    max(1, int(2 * scale)))
+    if ghost:
+        cv2.addWeighted(alpha_img, 0.45, img, 0.55, 0, dst=img)
+
+    e = np.asarray(ext, np.float32)
+    return [float(e[:, 0].min()), float(min(e[:, 1].min(), top)),
             float(e[:, 2].max()), float(e[:, 3].max())]
 
 

@@ -188,6 +188,54 @@ class TestDomainRandomization:
         assert any(s["round"] for s in styles)
         assert any(not s["round"] for s in styles)
         assert any(s["vignette"] > 0 for s in styles)
+        # round-4 body-shape family: both silhouette families present
+        assert any(s["body_capsule"] for s in styles)
+        assert any(not s["body_capsule"] for s in styles)
+
+    def test_capsule_body_family(self):
+        """The capsule silhouette draws a real figure whose ink stays
+        inside the returned extent box (stick excluded by contract)."""
+        from hockey_tpu.train.scenes import _draw_player, sample_style
+
+        style = sample_style(np.random.default_rng(3))
+        style["body_capsule"] = True
+        bg = 230
+        img = np.full((320, 320, 3), bg, np.uint8)
+        box = _draw_player(img, (160.0, 300.0), 180.0, (200, 40, 40),
+                           (30, 30, 30), np.random.default_rng(5),
+                           number=42, style=style)
+        x1, y1, x2, y2 = (int(round(v)) for v in box)
+        assert 0 <= x1 < x2 <= 320 and 0 <= y1 < y2 <= 320
+        ink = np.any(np.abs(img.astype(int) - bg) > 25, axis=2)
+        inside = int(ink[max(y1 - 2, 0):y2 + 2, max(x1 - 2, 0):x2 + 2].sum())
+        total = int(ink.sum())
+        assert inside > 1000, "capsule figure not drawn"
+        # only the stick (excluded from the extent) may poke outside
+        assert total - inside < 0.35 * total, (inside, total)
+        # and the two families are genuinely different silhouettes
+        img_t = np.full((320, 320, 3), bg, np.uint8)
+        style_t = dict(style, body_capsule=False)
+        _draw_player(img_t, (160.0, 300.0), 180.0, (200, 40, 40),
+                     (30, 30, 30), np.random.default_rng(5),
+                     number=42, style=style_t)
+        assert not np.array_equal(img, img_t)
+
+    def test_capsule_scene_labels_valid(self):
+        from hockey_tpu.train.scenes import render_scene, sample_style
+        from unittest import mock
+
+        def forced(rng):
+            s = sample_style(rng)
+            s["body_capsule"] = True
+            return s
+
+        with mock.patch("hockey_tpu.train.scenes.sample_style", forced):
+            img, boxes, classes = render_scene(
+                np.random.default_rng(11), 320, domain_rand=True)
+        assert len(boxes) > 0
+        assert (boxes[:, 2] > boxes[:, 0]).all()
+        assert (boxes[:, 3] > boxes[:, 1]).all()
+        assert (boxes >= 0).all() and (boxes <= 320).all()
 
     def test_dataset_threads_domain_rand(self):
         from hockey_tpu.train.scenes import HardSyntheticHockeyDataset
