@@ -62,6 +62,9 @@ def main() -> int:
                    help="'b' scores the pipeline END-TO-END on the "
                         "never-trained generator-B renderer (OOD; "
                         "--span is ignored, B uses its pinhole zoom)")
+    p.add_argument("--player-checkpoint", type=str, default=None,
+                   help="evaluate this player checkpoint instead of the "
+                        "shipped weights (pre-ship candidate evaluation)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (e.g. while the TPU is "
                         "training; env vars alone cannot override the "
@@ -110,6 +113,7 @@ def main() -> int:
     mode = ProcessingMode(args.mode)
     proc = VideoProcessor(config=config, mode=mode,
                           frame_hw=(args.imgsz, args.imgsz),
+                          checkpoint=args.player_checkpoint,
                           team_names=("TEAM_A", "TEAM_B"))
     if mode == ProcessingMode.TEAM_CLASSIFICATION:
         proc.initialize_team_classifier(clip)
@@ -228,6 +232,8 @@ def main() -> int:
             else "e2e_tracking.json")
     if args.generator == "b":
         name = name.replace(".json", "_b.json")
+    if args.player_checkpoint:  # keep shipped-weights artifacts pristine
+        name = name.replace(".json", "_candidate.json")
     print(line)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                            "logs", name), "w") as f:

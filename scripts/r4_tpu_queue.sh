@@ -37,6 +37,29 @@ done
 timeout 2400 python scripts/e2e_puck.py --frames 96 --generator b \
   --checkpoint checkpoints/puck_s_dl_tpu.msgpack.best 2>/dev/null | tail -1
 
+# NOTE (round-4 commit 422db05): --domain-rand now includes the capsule
+# body-shape family (scenes.sample_style "body_capsule"), so the puck
+# retrain above trains against capsule-mitt context natively and this
+# player fine-tune widens the silhouette family the box head regresses.
+echo "=== player body-family fine-tune (TPU, init player_x_dr.best)"
+python -m hockey_tpu.train.loop --model hockey-player-detection \
+  --domain-rand --device-data --steps 3000 --batch 16 --lr 0.0005 \
+  --ema 0.999 --val-every 500 --val-size 100 \
+  --init checkpoints/player_x_dr.msgpack.best \
+  --out checkpoints/player_x_bs.msgpack
+echo "player bs fine-tune exit: $?"
+for ds in hard hard-b; do
+  tag=$([ "$ds" = hard ] && echo a || echo b)
+  timeout 2400 python -m hockey_tpu.train.val --model hockey-player-detection \
+    --checkpoint checkpoints/player_x_bs.msgpack.best --dataset "$ds" \
+    --limit 120 --json > "logs/val_player_bs_${tag}.json" 2>/dev/null
+  cat "logs/val_player_bs_${tag}.json"; echo
+done
+echo "=== e2e quality gen B with the body-family candidate"
+timeout 3600 python scripts/e2e_quality.py --frames 96 --generator b \
+  --match-iou 0.3 --player-checkpoint checkpoints/player_x_bs.msgpack.best \
+  2>/dev/null | tail -1 | tee logs/e2e_quality_bs_b.json
+
 echo "=== rink window retrain (TPU, 512, full strength)"
 python -m hockey_tpu.train.loop --model hockey-detection --variant s \
   --imgsz 512 --device-data --domain-rand --steps 6000 --batch 16 \
