@@ -199,6 +199,11 @@ def main() -> int:
     name = (f"e2e_homography_{args.tag}.json" if args.tag
             else ("e2e_homography.json" if args.generator == "a"
                   else "e2e_homography_b.json"))
+    if args.rink_checkpoint and not args.tag:
+        # keep the shipped-weights artifacts pristine: candidate
+        # checkpoints write their own file (artifact discipline,
+        # VERDICT round-3 "weak #2")
+        name = name.replace(".json", "_candidate.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                            "logs", name), "w") as f:
         f.write(line + "\n")
