@@ -84,11 +84,20 @@ class ByteTrack:
         minimum_matching_threshold: float = 0.8,
         frame_rate: int = 30,
         minimum_consecutive_frames: int = 2,
+        duplicate_kill_iomin: float = 0.0,
+        lost_dup_kill_iomin: float = 0.0,
     ):
         self.activation_thresh = track_activation_threshold
         self.match_thresh = minimum_matching_threshold
         self.min_consecutive = minimum_consecutive_frames
         self.max_time_lost = int(frame_rate / 30.0 * lost_track_buffer)
+        # duplicate-track suppression, parity with the device tracker
+        # (COMPAT #27/#29): torso/full-body extent flicker sustains two
+        # tracks per actor whose emitted id alternates. 0 = stock
+        # ByteTrack. from_config threads the Config defaults (0.55) so
+        # the host fallback path matches the fused device path.
+        self.dup_kill_iomin = duplicate_kill_iomin
+        self.lost_dup_kill_iomin = lost_dup_kill_iomin
         self.kf = BatchKalmanXYAH()
         self.tracks: List[_Track] = []
         self._next_id = 1
@@ -106,6 +115,8 @@ class ByteTrack:
             minimum_matching_threshold=config.minimum_matching_threshold,
             frame_rate=config.frame_rate,
             minimum_consecutive_frames=config.minimum_consecutive_frames,
+            duplicate_kill_iomin=config.duplicate_kill_iomin,
+            lost_dup_kill_iomin=config.lost_dup_kill_iomin,
         )
         kw.update(overrides)
         return cls(**kw)
@@ -242,6 +253,13 @@ class ByteTrack:
                 t.activated = True
                 out.append((t, d))
 
+        # --- duplicate-track suppression (device-tracker parity,
+        # COMPAT #27/#29): run after new-track creation, before emission,
+        # exactly like tracking/device_tracker.py tracker_step
+        dead = self._apply_duplicate_kills()
+        if dead:
+            out = [(t, d) for t, d in out if t.track_id not in dead]
+
         if not out:
             z4 = np.zeros((0, 4), np.float32)
             z = np.zeros((0,), np.float32)
@@ -253,3 +271,52 @@ class ByteTrack:
         ids = np.asarray([t.track_id for t, _ in out], np.int32)
         self.last_indices = idx
         return boxes[idx], scores[idx], classes[idx], ids
+
+    def _apply_duplicate_kills(self) -> set:
+        """Kill duplicate tracks per the device-tracker semantics
+        (tracking/device_tracker.py tracker_step, COMPAT #27/#29):
+
+        - duplicate_kill_iomin: a TRACKED track dies when it overlaps an
+          OLDER (smaller-id) TRACKED same-class track at
+          intersection-over-min-area above the threshold;
+        - lost_dup_kill_iomin: a LOST track dies when its predicted box
+          is covered by a TRACKED older same-class track — the measured
+          OOD alternation mode (one extent tracked, one lost per frame).
+
+        Returns the set of killed track ids so the caller can drop them
+        from this frame's emission (device parity: emit is computed
+        after the kills)."""
+        if self.dup_kill_iomin <= 0 and self.lost_dup_kill_iomin <= 0:
+            return set()
+        live = [t for t in self.tracks if t.state != _REMOVED]
+        if len(live) < 2:
+            return set()
+        b = np.stack([t.xyxy for t in live])
+        tl = np.maximum(b[:, None, :2], b[None, :, :2])
+        br = np.minimum(b[:, None, 2:], b[None, :, 2:])
+        inter = np.prod(np.clip(br - tl, 0.0, None), -1)
+        area = np.prod(np.clip(b[:, 2:] - b[:, :2], 0.0, None), -1)
+        iomin = inter / np.maximum(
+            np.minimum(area[:, None], area[None, :]), 1e-9)
+        ids = np.asarray([t.track_id for t in live])
+        cls = np.asarray([t.class_id for t in live])
+        st = np.asarray([t.state for t in live])
+        younger = ids[None, :] < ids[:, None]  # row i younger than col j
+        same = cls[:, None] == cls[None, :]
+        tracked = st == _TRACKED
+        killed = np.zeros(len(live), bool)
+        if self.dup_kill_iomin > 0:
+            killed |= ((iomin > self.dup_kill_iomin) & younger
+                       & tracked[:, None] & tracked[None, :] & same).any(1)
+        if self.lost_dup_kill_iomin > 0:
+            lost = st == _LOST
+            killed |= ((iomin > self.lost_dup_kill_iomin) & younger
+                       & lost[:, None] & tracked[None, :] & same).any(1)
+        if not killed.any():
+            return set()
+        dead = {int(ids[i]) for i in np.flatnonzero(killed)}
+        for t in live:
+            if t.track_id in dead:
+                t.state = _REMOVED
+        self.tracks = [t for t in self.tracks if t.state != _REMOVED]
+        return dead

@@ -65,6 +65,12 @@ def main() -> int:
     p.add_argument("--player-checkpoint", type=str, default=None,
                    help="evaluate this player checkpoint instead of the "
                         "shipped weights (pre-ship candidate evaluation)")
+    p.add_argument("--device-tracker", action="store_true",
+                   help="force the fused device tracker (the shipped TPU "
+                        "wiring incl. COMPAT #26-29 duplicate suppression) "
+                        "even on the CPU backend, where the pipeline's "
+                        "auto rule would pick the host ByteTrack; writes "
+                        "*_devtrack.json")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (e.g. while the TPU is "
                         "training; env vars alone cannot override the "
@@ -110,6 +116,8 @@ def main() -> int:
     os.environ["HOCKEY_TPU_HEADLESS"] = "1"
     config = Config()
     config.detection_imgsz = args.imgsz
+    if args.device_tracker:
+        config.use_device_tracker = True
     mode = ProcessingMode(args.mode)
     proc = VideoProcessor(config=config, mode=mode,
                           frame_hw=(args.imgsz, args.imgsz),
@@ -232,6 +240,8 @@ def main() -> int:
             else "e2e_tracking.json")
     if args.generator == "b":
         name = name.replace(".json", "_b.json")
+    if args.device_tracker:
+        name = name.replace(".json", "_devtrack.json")
     if args.player_checkpoint:  # keep shipped-weights artifacts pristine
         name = name.replace(".json", "_candidate.json")
     print(line)

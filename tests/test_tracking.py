@@ -147,6 +147,59 @@ class TestByteTrack:
         last = sorted(ids.tolist())
         assert last == first, f"IDs swapped or changed: {first} -> {last}"
 
+    def test_duplicate_kill_collapses_to_older_id(self):
+        """COMPAT #27 host parity: two TRACKED same-class tracks over one
+        actor (torso inside full body, IoMin 1.0) — the younger dies and
+        the older id is the one emitted."""
+        full = np.asarray([100, 100, 140, 240], np.float32)
+        torso = np.asarray([100, 100, 140, 170], np.float32)
+        tr = self.track(minimum_consecutive_frames=1,
+                        duplicate_kill_iomin=0.55)
+        ids_seen = set()
+        for _ in range(4):
+            _, _, _, ids = tr.update(np.stack([full, torso]),
+                                     np.asarray([0.9, 0.85]))
+            ids_seen.update(ids.tolist())
+        live = [t.track_id for t in tr.tracks]
+        assert live == [min(ids_seen)], (live, ids_seen)
+        # stock semantics (0.0) keep both
+        tr2 = self.track(minimum_consecutive_frames=1)
+        for _ in range(4):
+            tr2.update(np.stack([full, torso]), np.asarray([0.9, 0.85]))
+        assert len(tr2.tracks) == 2
+
+    def test_lost_duplicate_kill_stops_alternation(self):
+        """COMPAT #29 host parity: after a duplicate pair forms, extent
+        flicker leaves one TRACKED and one LOST per frame; the LOST
+        younger track coasting inside the TRACKED older one is killed, so
+        the emitted id stops alternating."""
+        full = np.asarray([100, 100, 140, 240], np.float32)
+        torso = np.asarray([100, 102, 140, 172], np.float32)
+
+        def run(**kw):
+            tr = self.track(minimum_consecutive_frames=1, **kw)
+            for _ in range(2):  # seed the duplicate pair
+                tr.update(np.stack([full, torso]), np.asarray([0.9, 0.85]))
+            emitted = []
+            for f in range(10):  # extent flicker: one box per frame
+                b = torso if f % 2 else full
+                _, _, _, ids = tr.update(np.stack([b]), np.asarray([0.9]))
+                if len(ids):
+                    emitted.append(int(ids[0]))
+            return emitted
+
+        flicker = run()  # stock: both tracks persist
+        fixed = run(lost_dup_kill_iomin=0.55)
+        assert len(set(fixed)) == 1, fixed
+        assert min(fixed) == min(flicker), (fixed, flicker)
+
+    def test_from_config_threads_duplicate_kills(self):
+        from hockey_tpu.core.config import Config
+
+        tr = ByteTrack.from_config(Config())
+        assert tr.dup_kill_iomin == Config().duplicate_kill_iomin
+        assert tr.lost_dup_kill_iomin == Config().lost_dup_kill_iomin
+
     def test_goalie_class_preserved(self):
         tr = self.track(minimum_consecutive_frames=1)
         boxes = np.stack([make_box(100, 100), make_box(400, 300)])
