@@ -35,7 +35,8 @@ PLAYER_H_FT = 6.0  # skater height incl. skates/helmet
 # negatives, style keys, geometry). Keyed into the on-disk scene-pool
 # cache name (train/loop.py) so a stale /tmp pool rendered by an older
 # renderer can never silently train a model without the new content.
-RENDERER_VERSION = 4  # round-4: dark-limb/mitt-merge family, stick shafts
+RENDERER_VERSION = 5  # round-4: capsule/ellipse body-shape family
+# (v4 was the dark-limb/mitt-merge family + stick shafts)
 
 
 def _homography(rng: np.random.Generator, s: int, rink,
