@@ -95,6 +95,18 @@ class Config:
     puck_slice_overlap: float = 0.2
     puck_confidence: float = 0.25
     puck_trail_length: int = 30
+    # player-context demotion (round 4, default off): multiply the score
+    # of puck candidates whose center lies inside a detected player box
+    # ABOVE its bottom band by this factor (1.0/0 = off). Motivation: the
+    # measured OOD failure is ~5.7 confident glove-mitt false fires per
+    # image at mid-body height (logs/diag_puck_b.json) while a true puck
+    # near a player sits at skate level — the bottom band is exempt so
+    # stickhandling/possession detections survive. Costs one player
+    # megastep per puck batch when enabled (slicing/sahi.py
+    # demote_in_player_boxes).
+    puck_player_demote: float = 0.0
+    puck_demote_foot_band: float = 0.2  # bottom fraction of the player
+    #   box exempt from demotion (skates/possession zone)
 
     # --- TPU-native knobs (new; no reference counterpart).
     frame_batch: int = 0               # frames per device step; 0 = auto

@@ -347,6 +347,35 @@ class PuckTracker:
         return frame
 
 
+def demote_in_player_boxes(puck_boxes: np.ndarray, puck_scores: np.ndarray,
+                           player_boxes: np.ndarray,
+                           player_valid: np.ndarray,
+                           factor: float, foot_band: float = 0.2
+                           ) -> np.ndarray:
+    """Multiply the score of puck candidates whose center lies inside a
+    player box ABOVE its bottom `foot_band` fraction by `factor`.
+
+    The measured OOD failure mode is confident glove-mitt false fires at
+    mid-body height (~5.7/image, logs/diag_puck_b.json); a true puck near
+    a player sits at skate level, so the bottom band is exempt. Host-side
+    numpy on the already-transferred (K, D, 4) arrays — microseconds.
+    """
+    out = np.asarray(puck_scores).copy()
+    for i in range(len(out)):
+        pb = np.asarray(player_boxes[i])[np.asarray(player_valid[i])]
+        if not len(pb):
+            continue
+        b = np.asarray(puck_boxes[i])
+        c = (b[:, :2] + b[:, 2:]) / 2.0
+        y_cut = pb[:, 3] - foot_band * (pb[:, 3] - pb[:, 1])
+        inside = ((c[:, 0:1] >= pb[None, :, 0])
+                  & (c[:, 0:1] <= pb[None, :, 2])
+                  & (c[:, 1:2] >= pb[None, :, 1])
+                  & (c[:, 1:2] <= y_cut[None, :]))
+        out[i] = np.where(inside.any(axis=1), out[i] * factor, out[i])
+    return out
+
+
 class PuckPipeline:
     """PUCK_DETECTION mode: sliced detect + PuckTracker + trail overlay."""
 
@@ -357,9 +386,24 @@ class PuckPipeline:
         self.tracker = PuckTracker(trail_length=config.puck_trail_length)
         self.last_center = None      # smoothed tracker position
         self.last_detection = None   # this frame's raw best detection
+        # player-context demotion (config.puck_player_demote): one player
+        # megastep per puck batch feeding demote_in_player_boxes
+        self.player_detector = None
+        if 0.0 < config.puck_player_demote < 1.0:
+            from ..models.detector import Detector
+
+            self.player_detector = Detector(
+                config.player_model_name, config, frame_hw=frame_hw)
 
     def process_frame(self, frame: np.ndarray) -> np.ndarray:
         boxes, scores = self.sliced.detect(frame)
+        if self.player_detector is not None:
+            det = self.player_detector.detect(frame)
+            scores = demote_in_player_boxes(
+                boxes[None], scores[None], det.boxes[None],
+                np.ones((1, len(det.boxes)), bool),
+                self.config.puck_player_demote,
+                self.config.puck_demote_foot_band)[0]
         return self._annotate(frame, boxes, scores)
 
     def process_batch(self, frames: np.ndarray, n: Optional[int] = None
@@ -377,8 +421,17 @@ class PuckPipeline:
     def detect_batch(self, frames: np.ndarray):
         """Device-only half of process_batch (the tiled megastep) so the
         pipeline can time detect separately from the host tracker/drawing
-        stages, consistent with every other mode."""
-        return self.sliced.detect_frames(frames)
+        stages, consistent with every other mode. With player-context
+        demotion enabled this also runs the player megastep and demotes
+        mid-body puck candidates (demote_in_player_boxes)."""
+        boxes, scores, valid = self.sliced.detect_frames(frames)
+        if self.player_detector is not None:
+            det = self.player_detector.detect_batch(np.asarray(frames))
+            scores = demote_in_player_boxes(
+                boxes, scores, det.boxes, det.valid,
+                self.config.puck_player_demote,
+                self.config.puck_demote_foot_band)
+        return boxes, scores, valid
 
     def annotate_frame(self, frame: np.ndarray, boxes, scores, valid,
                        i: int) -> np.ndarray:

@@ -53,6 +53,11 @@ def main() -> int:
     p.add_argument("--generator", type=str, default="a", choices=["a", "b"],
                    help="'b' scores the puck pipeline on the never-trained "
                         "generator-B renderer (OOD)")
+    p.add_argument("--player-demote", type=float, default=0.0,
+                   help="enable player-context demotion (config."
+                        "puck_player_demote): puck candidates at mid-body "
+                        "height inside a detected player box get their "
+                        "score multiplied by this factor")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (env vars alone cannot "
                         "override the axon sitecustomize)")
@@ -82,6 +87,12 @@ def main() -> int:
             include_puck=True)
 
     config = Config()
+    config.puck_player_demote = args.player_demote
+    if args.player_demote:
+        # player context at the scale its OOD quality is validated at
+        # (generator-B val runs at 640, logs/val_player_dr_b.json); the
+        # demotion needs approximate body boxes, not 1280-px precision
+        config.detection_imgsz = 640
     pipe = PuckPipeline(config, frame_hw=(args.imgsz, args.imgsz),
                         checkpoint=args.checkpoint)
 
@@ -95,7 +106,7 @@ def main() -> int:
         if len(chunk) < b:  # pad the tail to the compiled batch shape
             chunk = chunk + [chunk[-1]] * (b - len(chunk))
         batch = np.stack(chunk)
-        boxes, scores, valid = pipe.sliced.detect_frames(batch)
+        boxes, scores, valid = pipe.detect_batch(batch)
         for j in range(min(b, len(frames) - k)):
             t = k + j
             v = valid[j]
@@ -177,10 +188,17 @@ def main() -> int:
         "generator": args.generator,
         "radius_px": args.radius,
     }
+    if args.player_demote:
+        out["player_demote"] = args.player_demote
     line = json.dumps(out)
     print(line)
+    name = "e2e_puck.json" if args.generator == "a" else "e2e_puck_b.json"
+    if args.checkpoint:  # candidate runs keep shipped artifacts pristine
+        name = name.replace(".json", "_candidate.json")
+    if args.player_demote:
+        name = name.replace(".json", "_demote.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "logs", "e2e_puck.json" if args.generator == "a" else "e2e_puck_b.json"), "w") as f:
+                           "logs", name), "w") as f:
         f.write(line + "\n")
     return 0
 

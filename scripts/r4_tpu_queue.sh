@@ -36,6 +36,10 @@ for ds in hard-puck hard-puck-b; do
 done
 timeout 2400 python scripts/e2e_puck.py --frames 96 --generator b \
   --checkpoint checkpoints/puck_s_dl_tpu.msgpack.best 2>/dev/null | tail -1
+echo "=== e2e puck gen-B: capsule-retrained ckpt + player-context demotion"
+timeout 2400 python scripts/e2e_puck.py --frames 96 --generator b \
+  --checkpoint checkpoints/puck_s_dl_tpu.msgpack.best --player-demote 0.3 \
+  2>/dev/null | tail -1
 
 # NOTE (round-4 commit 422db05): --domain-rand now includes the capsule
 # body-shape family (scenes.sample_style "body_capsule"), so the puck

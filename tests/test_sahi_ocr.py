@@ -82,6 +82,33 @@ class TestPuckTracker:
     def _box(x, y):
         return np.asarray([x - 6, y - 4, x + 6, y + 4], np.float32)
 
+    def test_demote_in_player_boxes_geometry(self):
+        """Mid-body candidates inside a player box are demoted; skate-band
+        and outside candidates are not (config.puck_player_demote spec)."""
+        from hockey_tpu.slicing.sahi import demote_in_player_boxes
+
+        player = np.asarray([[100, 100, 160, 300]], np.float32)  # 200 tall
+        pucks = np.stack([
+            self._box(130, 180),   # mid-body (glove height) -> demoted
+            self._box(130, 290),   # bottom 20% band (skates) -> kept
+            self._box(400, 180),   # outside any player -> kept
+        ])[None]
+        scores = np.asarray([[0.9, 0.8, 0.7]], np.float32)
+        out = demote_in_player_boxes(
+            pucks, scores, player[None], np.ones((1, 1), bool),
+            factor=0.5, foot_band=0.2)
+        np.testing.assert_allclose(out[0], [0.45, 0.8, 0.7])
+        # empty player set: scores unchanged
+        out2 = demote_in_player_boxes(
+            pucks, scores, np.zeros((1, 0, 4), np.float32),
+            np.zeros((1, 0), bool), factor=0.5)
+        np.testing.assert_allclose(out2, scores)
+
+    def test_player_demote_off_by_default(self):
+        from hockey_tpu.core.config import Config
+
+        assert Config().puck_player_demote == 0.0
+
     def test_ingest_ignores_single_false_fire(self):
         """A one-frame high-confidence glove fire far from the track must
         not drag the trajectory (pre-gate e2e MAE was 106 px from exactly
