@@ -142,6 +142,14 @@ class VideoProcessor:
                 minimum_matching_threshold=self.config.minimum_matching_threshold,
                 frame_rate=self.config.frame_rate,
                 minimum_consecutive_frames=self.config.minimum_consecutive_frames,
+                # duplicate suppression (COMPAT #27/#29) — without these
+                # the sequential device path ran stock ByteTrack while
+                # the fused batched path (detector.py tracker_kwargs) and
+                # the host fallback applied the kills: measured gen-B
+                # id_stability 0.444 sequential vs 0.778 host/fused
+                # (logs/r4_measure2.log)
+                duplicate_kill_iomin=self.config.duplicate_kill_iomin,
+                lost_dup_kill_iomin=self.config.lost_dup_kill_iomin,
             )
         else:
             self.tracker = ByteTrack.from_config(self.config)

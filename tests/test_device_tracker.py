@@ -336,6 +336,17 @@ class TestDeviceByteTrack:
         cfg = small_config()
         cfg.use_device_tracker = True
         cfg.max_tracks = 32
+        # the pipeline must thread the COMPAT #27/#29 kill knobs into the
+        # sequential device tracker — without them it ran stock ByteTrack
+        # while the fused/host paths applied the kills (measured gen-B
+        # id_stability 0.444 vs 0.778, logs/r4_measure2.log)
+        ptmp = VideoProcessor(config=cfg, mode=ProcessingMode.PLAYER_TRACKING,
+                              frame_hw=(H, W), player_detector=StubDetector(),
+                              team_names=("A", "B"))
+        assert ptmp.tracker.kwargs["duplicate_kill_iomin"] == \
+            cfg.duplicate_kill_iomin
+        assert ptmp.tracker.kwargs["lost_dup_kill_iomin"] == \
+            cfg.lost_dup_kill_iomin
         p = VideoProcessor(config=cfg, mode=ProcessingMode.PLAYER_TRACKING,
                            frame_hw=(H, W), player_detector=StubDetector(),
                            team_names=("A", "B"))
