@@ -35,8 +35,9 @@ PLAYER_H_FT = 6.0  # skater height incl. skates/helmet
 # negatives, style keys, geometry). Keyed into the on-disk scene-pool
 # cache name (train/loop.py) so a stale /tmp pool rendered by an older
 # renderer can never silently train a model without the new content.
-RENDERER_VERSION = 5  # round-4: capsule/ellipse body-shape family
-# (v4 was the dark-limb/mitt-merge family + stick shafts)
+RENDERER_VERSION = 5  # round-4: capsule/ellipse body-shape family +
+# puck SIZE family 8-60px under domain_rand (v4 was the dark-limb/
+# mitt-merge family + stick shafts); no cache was built at an earlier v5
 
 
 def _homography(rng: np.random.Generator, s: int, rink,
@@ -710,6 +711,15 @@ def render_scene(rng: np.random.Generator, s: int = 640,
             c = _project(h, [[px, py]])[0]
             hpx = _local_height(h, px, py)
             pr = max(hpx * 0.06, 2.0)
+            if style is not None:
+                # puck SIZE family (round 4, measured root cause): the
+                # legacy geometry only ever draws 8-16 px pucks (p10-max
+                # over 60 scenes), while generator-B val pucks are ~34 px
+                # and B broadcast-sequence pucks ~50 px — the shipped
+                # detector was SILENT on them (0 candidates above 0.03
+                # anywhere in the frame). Cover ~8-60 px so close-up
+                # pucks are in-distribution.
+                pr *= rng.uniform(0.8, 4.0)
             if not (0 < c[0] < s and 0 < c[1] < s):
                 continue
             cv2.ellipse(img, (int(c[0]), int(c[1])),

@@ -220,6 +220,23 @@ class TestDomainRandomization:
                      number=42, style=style_t)
         assert not np.array_equal(img, img_t)
 
+    def test_puck_size_family(self):
+        """DR puck scenes must cover the large-puck regime (generator-B
+        pucks are 34-50 px; the legacy geometry tops out at ~16 px and
+        the shipped round-3 model was silent on anything bigger)."""
+        from hockey_tpu.train.scenes import render_scene
+
+        widths = {"dr": [], "legacy": []}
+        for i in range(25):
+            for key, dr in (("dr", True), ("legacy", False)):
+                _, boxes, _ = render_scene(np.random.default_rng(500 + i),
+                                           640, pucks=True, domain_rand=dr)
+                if len(boxes):
+                    widths[key] += list(boxes[:, 2] - boxes[:, 0])
+        assert max(widths["dr"]) > 35.0, max(widths["dr"])
+        assert min(widths["dr"]) < 16.0, min(widths["dr"])
+        assert max(widths["legacy"]) < 20.0, max(widths["legacy"])
+
     def test_capsule_scene_labels_valid(self):
         from hockey_tpu.train.scenes import render_scene, sample_style
         from unittest import mock
