@@ -9,10 +9,12 @@ cd /root/repo
 {
 # the CPU puck fine-tune becomes redundant once the TPU can run the
 # full-strength version — free the single host core for data feeding
-if [ -f /tmp/puck_dl.pid ] && kill -0 "$(cat /tmp/puck_dl.pid)" 2>/dev/null; then
-  echo "killing CPU puck fine-tune (TPU takes over)"
-  kill "$(cat /tmp/puck_dl.pid)"
-fi
+for pidf in /tmp/puck_dl.pid /tmp/puck_bs.pid; do
+  if [ -f "$pidf" ] && kill -0 "$(cat "$pidf")" 2>/dev/null; then
+    echo "killing CPU puck fine-tune $pidf (TPU takes over)"
+    kill "$(cat "$pidf")"
+  fi
+done
 
 echo "=== bank a bench run (streams partials to logs/bench_partial.json)"
 timeout 2700 python bench.py | tail -1 | tee logs/bench_r4_banked.json
