@@ -22,6 +22,7 @@ timeout 2700 python bench.py | tail -1 | tee logs/bench_r4_banked.json
 # continue from the CPU dark-limb fine-tune if it banked a best
 PUCK_INIT=checkpoints/puck_s_dr.msgpack.best
 [ -f checkpoints/puck_s_dl.msgpack.best ] && PUCK_INIT=checkpoints/puck_s_dl.msgpack.best
+[ -f checkpoints/puck_s_bs.msgpack.best ] && PUCK_INIT=checkpoints/puck_s_bs.msgpack.best
 echo "=== puck dark-limb retrain (TPU, full strength, init $PUCK_INIT)"
 python -m hockey_tpu.train.loop --model hockey-puck-detection \
   --dataset hard-puck --domain-rand --device-data --steps 6000 --batch 16 \
