@@ -56,8 +56,11 @@ import time
 BASELINE_FPS = 1000.0 / (4 * (0.4 + 4.1 + 0.6))  # ≈ 49.0 (see docstring)
 E2E_FRAMES = 192  # steady-state frames timed in the pipeline benchmark
 REPO = os.path.dirname(os.path.abspath(__file__))
-CACHE = os.path.join(REPO, ".bench_cache")
-LOGS = os.path.join(REPO, "logs")
+# env overrides exist so TESTS can exercise the real orchestrator without
+# writing the repo's logs/ — an unpatched test once fabricated
+# logs/bench_last_good.json from fixture values
+CACHE = os.environ.get("HOCKEY_BENCH_CACHE", os.path.join(REPO, ".bench_cache"))
+LOGS = os.environ.get("HOCKEY_BENCH_LOGS", os.path.join(REPO, "logs"))
 
 # Per-stage wall budgets (seconds). The parent also enforces a global
 # deadline (HOCKEY_BENCH_BUDGET, default 1500 s) and shrinks/skips the
@@ -418,7 +421,10 @@ def _emit(results: dict) -> None:
     try:
         os.makedirs(LOGS, exist_ok=True)
         _write_out(os.path.join(LOGS, "bench_partial.json"), line)
-        if line["value"] > 0.0:
+        # bank last_good ONLY when this run's tunnel probe succeeded: a
+        # nonzero value without a probe cannot be a real measurement
+        # (this is how fixture pollution forged a "banked" number)
+        if line["value"] > 0.0 and results.get("probe", {}).get("ok"):
             line_g = dict(line)
             line_g["measured_at"] = time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime())

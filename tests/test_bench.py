@@ -22,8 +22,12 @@ def _load_bench():
     return mod
 
 
-def test_emit_always_valid_json(capsys):
+def test_emit_always_valid_json(capsys, tmp_path, monkeypatch):
     bench = _load_bench()
+    # NEVER write the real logs/ from a test: an unpatched run of this
+    # test fabricated logs/bench_last_good.json with the 219.5 fixture
+    # below, which masqueraded as a banked round-4 TPU measurement
+    monkeypatch.setattr(bench, "LOGS", str(tmp_path / "logs"))
     # empty results (nothing measured yet) must still be a full schema
     bench._emit({})
     line = capsys.readouterr().out.strip().splitlines()[-1]
@@ -42,8 +46,9 @@ def test_emit_always_valid_json(capsys):
     assert obj["stages"]["e2e"]["status"] == "timeout"
 
 
-def test_emit_error_field(capsys):
+def test_emit_error_field(capsys, tmp_path, monkeypatch):
     bench = _load_bench()
+    monkeypatch.setattr(bench, "LOGS", str(tmp_path / "logs"))
     bench._emit({"_error": "tpu_unavailable"})
     obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert obj["error"] == "tpu_unavailable"
@@ -78,7 +83,8 @@ def test_parent_stdout_is_json_only():
     error line quickly; stdout must contain ONLY JSON lines. Uses a tiny
     budget so probe/prep can't run long (cache is already warm in CI
     only if bench ran; either way every stdout line must parse)."""
-    env = dict(os.environ, HOCKEY_BENCH_BUDGET="1")
+    env = dict(os.environ, HOCKEY_BENCH_BUDGET="1",
+               HOCKEY_BENCH_LOGS="/tmp/bench_test_logs")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
