@@ -9,18 +9,25 @@ cd /root/repo
 {
 # the CPU puck fine-tune becomes redundant once the TPU can run the
 # full-strength version — free the single host core for data feeding
-for pidf in /tmp/puck_dl.pid /tmp/puck_bs.pid; do
+for pidf in /tmp/puck_dl.pid /tmp/puck_bs.pid /tmp/r4_resume2.pid; do
   if [ -f "$pidf" ] && kill -0 "$(cat "$pidf")" 2>/dev/null; then
-    echo "killing CPU puck fine-tune $pidf (TPU takes over)"
-    kill "$(cat "$pidf")"
+    echo "killing CPU fine-tune chain $pidf (TPU takes over)"
+    # the chains are setsid group leaders; kill the whole group so the
+    # in-flight python training child dies too, not just the bash wrapper
+    kill -TERM -- "-$(cat "$pidf")" 2>/dev/null || kill "$(cat "$pidf")"
   fi
 done
 
 echo "=== bank a bench run (streams partials to logs/bench_partial.json)"
 timeout 2700 python bench.py | tail -1 | tee logs/bench_r4_banked.json
 
-# continue from the CPU dark-limb fine-tune if it banked a best
-PUCK_INIT=checkpoints/puck_s_dr.msgpack.best
+# continue from the CPU fine-tunes if one banked a best; the gitignored
+# checkpoints/ tree does NOT survive environment resets (it was wiped
+# mid-round-4), so fall back to git-banked copies (scripts/bank_best.sh)
+# and finally to the shipped weights
+PUCK_INIT=hockey_tpu/data/weights/hockey-puck-detection.msgpack
+[ -f banked/puck_s_bs.msgpack ] && PUCK_INIT=banked/puck_s_bs.msgpack
+[ -f checkpoints/puck_s_dr.msgpack.best ] && PUCK_INIT=checkpoints/puck_s_dr.msgpack.best
 [ -f checkpoints/puck_s_dl.msgpack.best ] && PUCK_INIT=checkpoints/puck_s_dl.msgpack.best
 [ -f checkpoints/puck_s_bs.msgpack.best ] && PUCK_INIT=checkpoints/puck_s_bs.msgpack.best
 echo "=== puck dark-limb retrain (TPU, full strength, init $PUCK_INIT)"
@@ -48,11 +55,13 @@ timeout 2400 python scripts/e2e_puck.py --frames 96 --generator b \
 # body-shape family (scenes.sample_style "body_capsule"), so the puck
 # retrain above trains against capsule-mitt context natively and this
 # player fine-tune widens the silhouette family the box head regresses.
-echo "=== player body-family fine-tune (TPU, init player_x_dr.best)"
+PLAYER_INIT=hockey_tpu/data/weights/hockey-player-detection.msgpack
+[ -f checkpoints/player_x_dr.msgpack.best ] && PLAYER_INIT=checkpoints/player_x_dr.msgpack.best
+echo "=== player body-family fine-tune (TPU, init $PLAYER_INIT)"
 python -m hockey_tpu.train.loop --model hockey-player-detection \
   --domain-rand --device-data --steps 3000 --batch 16 --lr 0.0005 \
   --ema 0.999 --val-every 500 --val-size 100 \
-  --init checkpoints/player_x_dr.msgpack.best \
+  --init "$PLAYER_INIT" \
   --out checkpoints/player_x_bs.msgpack
 echo "player bs fine-tune exit: $?"
 for ds in hard hard-b; do
@@ -67,10 +76,13 @@ timeout 3600 python scripts/e2e_quality.py --frames 96 --generator b \
   --match-iou 0.3 --player-checkpoint checkpoints/player_x_bs.msgpack.best \
   2>/dev/null | tail -1 | tee logs/e2e_quality_bs_b.json
 
-echo "=== rink window retrain (TPU, 512, full strength)"
+RINK_INIT=hockey_tpu/data/weights/hockey-detection.msgpack
+[ -f banked/rink_s_ph.msgpack ] && RINK_INIT=banked/rink_s_ph.msgpack
+[ -f checkpoints/rink_s_ph.msgpack.best ] && RINK_INIT=checkpoints/rink_s_ph.msgpack.best
+echo "=== rink window retrain (TPU, 512, full strength, init $RINK_INIT)"
 python -m hockey_tpu.train.loop --model hockey-detection --variant s \
   --imgsz 512 --device-data --domain-rand --steps 6000 --batch 16 \
-  --lr 0.002 --init checkpoints/rink_s_w_cpu3.msgpack \
+  --lr 0.002 --init "$RINK_INIT" \
   --out checkpoints/rink_s_w_tpu.msgpack
 echo "rink retrain exit: $?"
 timeout 1800 python -m hockey_tpu.train.val --model hockey-detection \
