@@ -35,7 +35,7 @@ PYEOF
       (
         flock -w 300 9 || exit 1
         git add -f "$dst" && \
-          git commit -q -m "Bank $name training checkpoint (f16, survives environment resets)" || true
+          git commit -q -m "Bank $name training checkpoint (f16, survives environment resets)" -- "$dst" || true
       ) 9>/tmp/gitbank.lock
     fi
   done

@@ -49,6 +49,10 @@ timeout 2400 python -m hockey_tpu.train.val --model hockey-detection \
   --cpu --dataset rink-b --limit 60 --json > logs/val_rink_ph_b.json 2>/dev/null
 cat logs/val_rink_ph_b.json; echo
 echo "=== e2e homography A (candidate, harness defaults)"
+# advisor fix (round 4, high): stale candidate artifacts from a previous
+# checkpoint would satisfy the gate below even if these runs crash —
+# delete them first so the gate can only see THIS candidate's numbers
+rm -f logs/e2e_homography_candidate.json logs/e2e_homography_b_candidate.json
 timeout 7200 python scripts/e2e_homography.py --cpu \
   --rink-checkpoint checkpoints/rink_s_ph.msgpack.best 2>/dev/null | tail -1
 echo "=== e2e homography B (candidate)"
@@ -70,8 +74,9 @@ def load(p):
 
 a = load("logs/e2e_homography_candidate.json")
 b = load("logs/e2e_homography_b_candidate.json")
+m = a.get("calib_err_ft_mean")  # advisor fix: `or 99` treated 0.0 as missing
 ok_a = (a.get("calibrated_frames", 0) >= 91
-        and (a.get("calib_err_ft_mean") or 99) <= 6.5)
+        and m is not None and m <= 6.5)
 ok_b = b.get("calibrated_frames", 0) >= 1
 print(f"gate: in-dist {a.get('calibrated_frames')}@"
       f"{a.get('calib_err_ft_mean')}ft ok={ok_a}; "
@@ -100,7 +105,8 @@ if [ $? -eq 0 ]; then
       logs/e2e_homography.json logs/e2e_homography_b.json \
       logs/e2e_homography_candidate.json logs/e2e_homography_b_candidate.json \
       logs/val_rink_ph_a.json logs/val_rink_ph_b.json
-    git commit -q -m "Ship pinhole-family rink model: gen-B homography gate cleared" || true
+    git commit -q -m "Ship pinhole-family rink model: gen-B homography gate cleared" \
+      -- hockey_tpu/data/weights/hockey-detection.msgpack logs/ || true
   ) 9>/tmp/gitbank.lock
 else
   echo "gate NOT cleared - keeping shipped rink model"
@@ -109,7 +115,7 @@ else
     git add -f logs/e2e_homography_candidate.json \
       logs/e2e_homography_b_candidate.json \
       logs/val_rink_ph_a.json logs/val_rink_ph_b.json 2>/dev/null
-    git commit -q -m "Bank rink pinhole candidate artifacts (gate not cleared)" || true
+    git commit -q -m "Bank rink pinhole candidate artifacts (gate not cleared)" -- logs/ || true
   ) 9>/tmp/gitbank.lock
 fi
 
@@ -146,7 +152,7 @@ timeout 5400 python scripts/e2e_puck.py --cpu --frames 96 \
   flock -w 300 9
   git add -f logs/val_puck_bs_a.json logs/val_puck_bs_b.json \
     logs/e2e_puck_b_candidate.json logs/e2e_puck_candidate.json 2>/dev/null
-  git commit -q -m "Bank puck body+size-family candidate artifacts" || true
+  git commit -q -m "Bank puck body+size-family candidate artifacts" -- logs/ || true
 ) 9>/tmp/gitbank.lock
 echo "=== done r4 resume2 $(date)"
 } >> logs/r4_resume2.log 2>&1

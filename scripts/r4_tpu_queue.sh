@@ -27,6 +27,9 @@ timeout 2700 python bench.py | tail -1 | tee logs/bench_r4_banked.json
 # and finally to the shipped weights
 PUCK_INIT=hockey_tpu/data/weights/hockey-puck-detection.msgpack
 [ -f banked/puck_s_bs.msgpack ] && PUCK_INIT=banked/puck_s_bs.msgpack
+# advisor fix (round 4, medium): prefer the banked f16 copy of THIS run's
+# output over shipped weights after an environment reset
+[ -f banked/puck_s_dl_tpu.msgpack ] && PUCK_INIT=banked/puck_s_dl_tpu.msgpack
 [ -f checkpoints/puck_s_dr.msgpack.best ] && PUCK_INIT=checkpoints/puck_s_dr.msgpack.best
 [ -f checkpoints/puck_s_dl.msgpack.best ] && PUCK_INIT=checkpoints/puck_s_dl.msgpack.best
 [ -f checkpoints/puck_s_bs.msgpack.best ] && PUCK_INIT=checkpoints/puck_s_bs.msgpack.best
@@ -56,6 +59,8 @@ timeout 2400 python scripts/e2e_puck.py --frames 96 --generator b \
 # retrain above trains against capsule-mitt context natively and this
 # player fine-tune widens the silhouette family the box head regresses.
 PLAYER_INIT=hockey_tpu/data/weights/hockey-player-detection.msgpack
+# advisor fix (round 4, medium): resume from banked progress after a reset
+[ -f banked/player_x_bs.msgpack ] && PLAYER_INIT=banked/player_x_bs.msgpack
 [ -f checkpoints/player_x_dr.msgpack.best ] && PLAYER_INIT=checkpoints/player_x_dr.msgpack.best
 echo "=== player body-family fine-tune (TPU, init $PLAYER_INIT)"
 python -m hockey_tpu.train.loop --model hockey-player-detection \
