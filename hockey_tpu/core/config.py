@@ -50,8 +50,9 @@ class Config:
     # keypoint accuracy does not survive a large scale shift from the
     # checkpoint's training resolution (measured: PCK 0.99 at train-res
     # vs 0.08 when run at the player model's 1280). The shipped
-    # window-camera checkpoint is trained at 384 (STATUS round-3).
-    rink_imgsz: int = 384
+    # checkpoint is the round-4 window-camera TPU retrain at 512
+    # (rink_s_w_tpu: PCK 0.885, logs/val_rink_shipped.json).
+    rink_imgsz: int = 512
     detection_confidence: float = 0.4
 
     # --- Tracking (reference main.py:32-36).

@@ -43,7 +43,15 @@ def main() -> int:
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--imgsz", type=int, default=960)
     p.add_argument("--radius", type=float, default=16.0,
-                   help="match radius in px (puck is ~6-14 px wide)")
+                   help="fixed match radius in px (used when "
+                        "--radius-mode fixed; also the gt-scaled mode's "
+                        "upper clamp)")
+    p.add_argument("--radius-mode", type=str, default="gt-scaled",
+                   choices=["gt-scaled", "fixed"],
+                   help="gt-scaled (default): per-frame hit radius = one "
+                        "drawn gt puck width (floor 6 px, cap --radius) "
+                        "so 'close' means the same thing for an 8 px and "
+                        "a 60 px puck; fixed: legacy constant --radius")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--span", type=str, default="0.25,0.45",
                    help="camera zoom span range (fraction of rink length)")
@@ -86,6 +94,30 @@ def main() -> int:
             rng, args.imgsz, args.frames, span_range=span,
             include_puck=True)
 
+    # per-frame hit radius tied to the drawn gt puck size (round-3/4
+    # review ask: a fixed 16 px radius means different things for an
+    # 8 px and a 60 px puck). Both renderers size the puck from the
+    # local standing height at its rink position; recompute that law
+    # from the labeled homography instead of a fixed constant.
+    from hockey_tpu.train.scenes import _local_height
+
+    def _gt_radius(lab) -> float:
+        if args.radius_mode == "fixed":
+            return args.radius
+        pr_ft = lab.get("puck_rink")
+        h = lab.get("camera_h")
+        if pr_ft is None or h is None:
+            return args.radius
+        hpx = _local_height(np.asarray(h, np.float64),
+                            float(pr_ft[0]), float(pr_ft[1]))
+        if args.generator == "b":  # scenes_b.py _draw_puck_b size law
+            w = 2.0 * max(max(hpx * 0.055, 1.8) * 1.5, 2.0)
+        else:                      # scenes.py _draw_puck size law
+            w = 2.0 * max(max(hpx * 0.06, 2.0) * 1.6, 2.0)
+        return float(np.clip(w, 6.0, args.radius))
+
+    radii = [_gt_radius(lab) for lab in labels]
+
     config = Config()
     config.puck_player_demote = args.player_demote
     if args.player_demote:
@@ -119,7 +151,7 @@ def main() -> int:
                 bb = out_boxes[int(np.argmax(out_scores))]
                 c = np.asarray([(bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2])
                 raw_tp += int(float(np.linalg.norm(c - gt_t))
-                              <= args.radius)
+                              <= radii[t])
             # the REAL tracker ingest: gated selection + smoothing (the
             # same path PuckPipeline._annotate runs)
             sm, idx = pipe.tracker.ingest(out_boxes, out_scores)
@@ -132,7 +164,7 @@ def main() -> int:
             visible = bool(labels[t].get("puck_visible"))
             det_close = (center is not None and gt is not None
                          and float(np.linalg.norm(center - gt))
-                         <= args.radius)
+                         <= radii[t])
             if visible:
                 vis_frames += 1
                 det_tp += int(det_close)
@@ -142,7 +174,7 @@ def main() -> int:
             if sm is not None and gt is not None:
                 e = float(np.linalg.norm(np.asarray(sm) - gt))
                 traj_err.append(e)
-                tracker_close = e <= args.radius
+                tracker_close = e <= radii[t]
             rec.append((visible, det_close, tracker_close))
 
     recall = det_tp / max(vis_frames, 1)
@@ -186,7 +218,11 @@ def main() -> int:
         if recoveries else 0.0,
         "imgsz": args.imgsz,
         "generator": args.generator,
-        "radius_px": args.radius,
+        "radius_mode": args.radius_mode,
+        "radius_px": (args.radius if args.radius_mode == "fixed"
+                      else round(float(np.mean(radii)), 2)),
+        "radius_px_min": round(float(np.min(radii)), 2),
+        "radius_px_max": round(float(np.max(radii)), 2),
     }
     if args.player_demote:
         out["player_demote"] = args.player_demote

@@ -78,12 +78,6 @@ class TestShippedPlayerDetector:
 
 
 class TestShippedRinkPoseModel:
-    @pytest.mark.xfail(
-        reason="shipped rink model is the CPU-rescue window-camera "
-               "fine-tune (TPU tunnel outage, STATUS round-3): windowed "
-               "PCK 0.75 vs the 0.8 target; the full-strength 512/6k TPU "
-               "retrain is queued (scripts/r3_rink_window.sh)",
-        strict=False)
     def test_keypoints_on_held_out_views(self):
         from hockey_tpu.core.config import Config
         from hockey_tpu.homography.keypoints import RinkKeypointDetector
@@ -102,12 +96,19 @@ class TestShippedRinkPoseModel:
                                    frame_hw=(s, s))
         ds = SyntheticRinkDataset(imgsz=s, seed=4242)
         acc = PoseEvalAccumulator()
-        items = [ds.load(i) for i in range(6)]
-        frames = np.stack([(it["images"] * 255).astype(np.uint8)
-                           for it in items])
-        kpts = rkd.detect_keypoints_batch(frames)
-        for j, it in enumerate(items):
-            acc.add_image(kpts[j], it["keypoints"][0], (s, s))
+        # 24 scenes, not 6: per-view PCK ranges 0.17-1.0 on hard views
+        # (measured on the shipped rink_s_w_tpu: 6-scene probe 0.645 vs
+        # 0.838 over 24 at this seed, 0.885 over the 200-image val pool,
+        # logs/val_rink_shipped.json) — a 6-scene sample gates on view
+        # luck, not model quality. Deterministic rendering + CPU
+        # inference makes the 24-scene number exactly reproducible.
+        for i in range(0, 24, 6):
+            items = [ds.load(j) for j in range(i, i + 6)]
+            frames = np.stack([(it["images"] * 255).astype(np.uint8)
+                               for it in items])
+            kpts = rkd.detect_keypoints_batch(frames)
+            for j, it in enumerate(items):
+                acc.add_image(kpts[j], it["keypoints"][0], (s, s))
         m = acc.compute()
         assert m["pck"] >= 0.8, f"PCK@0.05 {m['pck']:.3f} on held-out views"
 
