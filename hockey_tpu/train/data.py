@@ -358,11 +358,17 @@ class SyntheticRinkDataset:
         L, W = d.length, d.width
         tx = rng.uniform(0.10 * L, 0.90 * L)    # window center on the ice
         ty = rng.uniform(0.20 * W, 0.80 * W)
-        f = rng.uniform(0.42, 1.05)             # visible fraction of length
-        elev = np.deg2rad(rng.uniform(7.0, 45.0))
+        f = rng.uniform(0.42, 1.30)             # visible fraction of length
+        # elevation to 80 deg and slant to 320 ft: broadcast catwalk
+        # cameras sit high and steep. Round 5 measured the shipped 7-45
+        # deg family collapsing on steep whole-sheet views (generator B's
+        # camera: height 120-300 ft at 40-120 ft board distance, i.e.
+        # ~32-79 deg look-down — PCK 0.159 on B-geometry sterile renders
+        # vs 0.68 on training geometry, logs/diag_rink_b.json)
+        elev = np.deg2rad(rng.uniform(7.0, 80.0))
         azim = np.deg2rad(rng.uniform(-30.0, 30.0))  # off-perpendicular
         roll = np.deg2rad(rng.uniform(-7.0, 7.0))
-        r = rng.uniform(45.0, 180.0)            # slant distance (ft)
+        r = rng.uniform(45.0, 320.0)            # slant distance (ft)
         cam = np.asarray([tx + r * np.cos(elev) * np.sin(azim),
                           ty - r * np.cos(elev) * np.cos(azim),
                           r * np.sin(elev)], np.float64)
@@ -381,7 +387,15 @@ class SyntheticRinkDataset:
         pc = (ends - cam) @ rot.T
         span = max(float(np.abs(pc[:, 0] / np.maximum(pc[:, 2], 1e-6)).max()),
                    1e-6)
-        fx = fy = 0.5 * s / span * rng.uniform(0.85, 1.15)
+        fx = 0.5 * s / span * rng.uniform(0.85, 1.15)
+        # anamorphic aspect jitter: broadcast wide shots (and generator
+        # B's fit_rink intrinsics, scenes_b.py:73-86) fit length and
+        # width to the frame independently, VERTICALLY STRETCHING the
+        # foreshortened sheet so it fills the frame (measured fy/fx on
+        # the rink-b camera family: 0.91-3.90, median 1.83); an
+        # fx==fy-only model treats that stretch as out-of-family.
+        # log-uniform so the isotropic neighborhood keeps density
+        fy = fx * np.exp(rng.uniform(np.log(0.8), np.log(4.0)))
         k = np.asarray([[fx, 0.0, s / 2.0], [0.0, fy, s / 2.0],
                         [0.0, 0.0, 1.0]])
         h = k @ np.stack([rot[:, 0], rot[:, 1], -rot @ cam], axis=1)
