@@ -37,6 +37,30 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
+def gt_radius(lab, generator: str, cap: float = 16.0,
+              floor: float = 6.0) -> float:
+    """Per-frame hit radius = one drawn gt puck width (round-3/4 review
+    ask: a fixed 16 px radius means different things for an 8 px and a
+    60 px puck). Both renderers size the puck from the local standing
+    height at its rink position; recompute that law from the labeled
+    homography instead of using a fixed constant. Shared by
+    scripts/e2e_puck.py and scripts/sweep_puck_gate.py so the sweep's
+    operating points are scored exactly like the canonical artifact."""
+    from hockey_tpu.train.scenes import _local_height
+
+    pr_ft = lab.get("puck_rink")
+    h = lab.get("camera_h")
+    if pr_ft is None or h is None:
+        return cap
+    hpx = _local_height(np.asarray(h, np.float64),
+                        float(pr_ft[0]), float(pr_ft[1]))
+    if generator == "b":  # scenes_b.py _draw_puck_b size law
+        w = 2.0 * max(max(hpx * 0.055, 1.8) * 1.5, 2.0)
+    else:                 # scenes.py _draw_puck size law
+        w = 2.0 * max(max(hpx * 0.06, 2.0) * 1.6, 2.0)
+    return float(np.clip(w, floor, cap))
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=96)
@@ -94,29 +118,11 @@ def main() -> int:
             rng, args.imgsz, args.frames, span_range=span,
             include_puck=True)
 
-    # per-frame hit radius tied to the drawn gt puck size (round-3/4
-    # review ask: a fixed 16 px radius means different things for an
-    # 8 px and a 60 px puck). Both renderers size the puck from the
-    # local standing height at its rink position; recompute that law
-    # from the labeled homography instead of a fixed constant.
-    from hockey_tpu.train.scenes import _local_height
-
-    def _gt_radius(lab) -> float:
-        if args.radius_mode == "fixed":
-            return args.radius
-        pr_ft = lab.get("puck_rink")
-        h = lab.get("camera_h")
-        if pr_ft is None or h is None:
-            return args.radius
-        hpx = _local_height(np.asarray(h, np.float64),
-                            float(pr_ft[0]), float(pr_ft[1]))
-        if args.generator == "b":  # scenes_b.py _draw_puck_b size law
-            w = 2.0 * max(max(hpx * 0.055, 1.8) * 1.5, 2.0)
-        else:                      # scenes.py _draw_puck size law
-            w = 2.0 * max(max(hpx * 0.06, 2.0) * 1.6, 2.0)
-        return float(np.clip(w, 6.0, args.radius))
-
-    radii = [_gt_radius(lab) for lab in labels]
+    if args.radius_mode == "fixed":
+        radii = [args.radius] * len(labels)
+    else:
+        radii = [gt_radius(lab, args.generator, cap=args.radius)
+                 for lab in labels]
 
     config = Config()
     config.puck_player_demote = args.player_demote

@@ -35,9 +35,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
-def replay(tracker_cls, dets, labels, radius, overrides):
+def replay(tracker_cls, dets, labels, radii, overrides):
     """Run one PuckTracker configuration over cached per-frame detections
-    using the same scoring as scripts/e2e_puck.py."""
+    using the same scoring as scripts/e2e_puck.py (per-frame gt-scaled
+    hit radii, e2e_puck.gt_radius)."""
     tr = tracker_cls()
     for k, v in overrides.items():
         setattr(tr, k, v)
@@ -52,7 +53,7 @@ def replay(tracker_cls, dets, labels, radius, overrides):
         gt = labels[t].get("puck_xy")
         visible = bool(labels[t].get("puck_visible"))
         close = (center is not None and gt is not None
-                 and float(np.linalg.norm(center - gt)) <= radius)
+                 and float(np.linalg.norm(center - gt)) <= radii[t])
         if visible:
             vis += 1
             det_tp += int(close)
@@ -74,7 +75,9 @@ def main() -> int:
     p.add_argument("--frames", type=int, default=96)
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--imgsz", type=int, default=960)
-    p.add_argument("--radius", type=float, default=16.0)
+    p.add_argument("--radius", type=float, default=16.0,
+                   help="upper clamp of the gt-scaled per-frame radius "
+                        "(scored identically to e2e_puck.py)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--span", type=str, default="0.25,0.45")
     p.add_argument("--generator", type=str, default="a", choices=["a", "b"])
@@ -105,6 +108,12 @@ def main() -> int:
             rng, args.imgsz, args.frames, span_range=span,
             include_puck=True)
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from e2e_puck import gt_radius
+
+    radii = [gt_radius(lab, args.generator, cap=args.radius)
+             for lab in labels]
+
     pipe = PuckPipeline(Config(), frame_hw=(args.imgsz, args.imgsz),
                         checkpoint=args.checkpoint)
 
@@ -128,16 +137,17 @@ def main() -> int:
                              "COAST_FRAMES": coast})
     points = []
     for cfg in grid:
-        m = replay(PuckTracker, dets, labels, args.radius, cfg)
+        m = replay(PuckTracker, dets, labels, radii, cfg)
         points.append({**cfg, **m})
 
-    shipped = replay(PuckTracker, dets, labels, args.radius, {})
+    shipped = replay(PuckTracker, dets, labels, radii, {})
     ok = [pt for pt in points if pt["precision"] >= 0.95]
     best = max(ok, key=lambda pt: pt["recall"]) if ok else None
     out = {
         "frames": len(frames),
         "generator": args.generator,
-        "radius_px": args.radius,
+        "radius_mode": "gt-scaled",
+        "radius_px": round(float(np.mean(radii)), 2),
         "shipped": shipped,
         "best_at_p95": best,
         "points": points,
