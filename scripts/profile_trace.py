@@ -1,96 +1,172 @@
-"""Capture a device trace of the detect megastep and report the top op
-classes by self time — the evidence behind STATUS's roofline note
-(round-2 review asked that the "remaining ~30% is im2col/VPU" claim be
-backed by a trace, not inference).
+"""Capture a device trace of a hot program and report top op classes.
 
-    python scripts/profile_trace.py [--batch 32] [--reps 3]
+Round-2..4 reviews asked that STATUS's roofline/MFU claims be backed by
+a parsed op-level trace, not cost-model arithmetic. Round 4's attempt
+died on a protobuf gencode mismatch inside tensorboard_plugin_profile
+("Descriptors cannot be created directly"); this version forces the
+pure-python protobuf runtime BEFORE any proto import and parses the
+XSpace protobuf DIRECTLY (tensorflow.tsl.profiler.protobuf.xplane_pb2),
+dropping the broken plugin entirely.
 
-Writes the raw trace under /tmp/hockey_trace/ and prints a JSON line
-with the top-10 self-time op categories; also logs/profile_trace.json.
+    python scripts/profile_trace.py [--program detect|dual] [--batch 32]
+
+Writes the raw trace under /tmp/hockey_trace*/ and prints a JSON line
+with total device-plane time and the top-12 op categories by summed
+duration; also logs/profile_trace[_<program>].json.
 """
 
 from __future__ import annotations
 
+import os
+
+# must precede every (transitive) google.protobuf import: the C++
+# descriptor pool rejects tensorflow's older gencode, the python one
+# accepts it (the round-4 trace failure).
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 import argparse
 import glob
 import json
-import os
+import re
 import sys
+from collections import defaultdict
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+# strip SSA suffixes: "%fusion.123" -> "fusion", "convolution.5.remat"
+# -> "convolution"; keep readable names for named computations
+_CAT = re.compile(r"^%?([a-zA-Z_][\w-]*?)(?:[._-]\d+)*(?:\.remat\d*)?$")
 
-def _parse_xplane(trace_dir: str):
-    """Aggregate per-op self time from the xplane protobuf via the
-    tensorboard profiler plugin (present in this image)."""
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
-                      recursive=True)
+
+def _category(name: str) -> str:
+    m = _CAT.match(name)
+    return m.group(1) if m else name[:40]
+
+
+def parse_xplane(trace_dir: str):
+    """Aggregate op durations per category from the newest xplane.pb.
+
+    Returns (device_planes: {plane_name: {total_ps, line_names}},
+    cats: {category: ps}) summed over device-plane op lines."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                             recursive=True), key=os.path.getmtime)
     if not paths:
-        return None
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+        return None, None
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        space.ParseFromString(f.read())
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [paths[-1]], "framework_op_stats", {})
-    return data
+    planes_info = {}
+    cats = defaultdict(int)
+    for plane in space.planes:
+        pname = plane.name
+        is_device = ("TPU" in pname or "/device:" in pname
+                     or "Device" in pname) and "Host" not in pname
+        if not is_device:
+            continue
+        meta = {mid: m.name for mid, m in plane.event_metadata.items()}
+        lines = []
+        total = 0
+        for line in plane.lines:
+            # op-level lines on TPU planes: "XLA Ops" / per-core op
+            # streams; step/module lines double-count their children
+            lname = line.name or f"line{line.id}"
+            if any(k in lname.lower() for k in ("step", "module")):
+                continue
+            lines.append(lname)
+            for ev in line.events:
+                dur = int(ev.duration_ps)
+                total += dur
+                cats[_category(meta.get(ev.metadata_id, "?"))] += dur
+        planes_info[pname] = {"total_ps": total, "lines": lines}
+    return planes_info, dict(cats)
 
 
 def main() -> int:
     p = argparse.ArgumentParser()
+    p.add_argument("--program", type=str, default="detect",
+                   choices=["detect", "dual"])
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--reps", type=int, default=3)
-    p.add_argument("--trace-dir", type=str, default="/tmp/hockey_trace")
+    p.add_argument("--trace-dir", type=str, default=None)
+    p.add_argument("--parse-only", type=str, default=None,
+                   help="skip capture; parse this existing trace dir")
     args = p.parse_args()
+    trace_dir = args.trace_dir or f"/tmp/hockey_trace_{args.program}"
 
-    import jax
-    import jax.numpy as jnp
+    out = {"program": args.program, "batch": args.batch, "reps": args.reps}
 
-    from hockey_tpu.core.config import Config
-    from hockey_tpu.models.detector import build_detect_fn
-    from hockey_tpu.models.layers import fuse_for_inference
-    from hockey_tpu.models.checkpoint import load_params, shipped_weights_path
-    from hockey_tpu.models.yolov8 import MODEL_ZOO, init_params
-    from hockey_tpu.train.scenes import render_scene_sequence
+    if not args.parse_only:
+        import jax
+        import jax.numpy as jnp
 
-    config = Config()
-    cfg = MODEL_ZOO["hockey-player-detection"]
-    shipped = shipped_weights_path("hockey-player-detection")
-    params = fuse_for_inference(load_params(shipped) if shipped
-                                else init_params(cfg, seed=0))
-    fn = build_detect_fn(cfg, imgsz=config.detection_imgsz,
-                         frame_hw=(1080, 1920),
-                         conf=config.detection_confidence,
-                         iou=config.nms_iou_threshold,
-                         pre_topk=config.nms_pre_topk,
-                         max_det=config.max_detections)
-    frames, _ = render_scene_sequence(np.random.default_rng(42), 1080,
-                                      args.batch, width=1920)
-    dev = jnp.asarray(np.stack(frames))
-    _ = np.asarray(fn(params, dev).boxes)  # compile + warm
+        from hockey_tpu.core.config import Config
+        from hockey_tpu.train.scenes import render_scene_sequence
 
-    jax.profiler.start_trace(args.trace_dir)
-    for _ in range(args.reps):
-        _ = np.asarray(fn(params, dev).boxes)
-    jax.profiler.stop_trace()
+        config = Config()
+        frames, _ = render_scene_sequence(np.random.default_rng(42), 1080,
+                                          args.batch, width=1920)
+        stack = np.stack(frames)
 
-    out = {"batch": args.batch, "reps": args.reps}
-    try:
-        stats = _parse_xplane(args.trace_dir)
-        if stats is not None:
-            tbl = json.loads(stats) if isinstance(stats, (str, bytes)) \
-                else stats
-            out["raw_tool"] = "framework_op_stats"
-            out["stats_excerpt"] = str(tbl)[:4000]
-    except Exception as e:
-        out["parse_error"] = f"{type(e).__name__}: {e}"
+        if args.program == "detect":
+            from hockey_tpu.models.checkpoint import (load_params,
+                                                      shipped_weights_path)
+            from hockey_tpu.models.detector import build_detect_fn
+            from hockey_tpu.models.layers import fuse_for_inference
+            from hockey_tpu.models.yolov8 import MODEL_ZOO, init_params
+
+            cfg = MODEL_ZOO["hockey-player-detection"]
+            shipped = shipped_weights_path("hockey-player-detection")
+            params = fuse_for_inference(load_params(shipped) if shipped
+                                        else init_params(cfg, seed=0))
+            fn = build_detect_fn(cfg, imgsz=config.detection_imgsz,
+                                 frame_hw=(1080, 1920),
+                                 conf=config.detection_confidence,
+                                 iou=config.nms_iou_threshold,
+                                 pre_topk=config.nms_pre_topk,
+                                 max_det=config.max_detections)
+            dev = jnp.asarray(stack)
+            _ = np.asarray(fn(params, dev).boxes)  # compile + warm
+
+            jax.profiler.start_trace(trace_dir)
+            for _ in range(args.reps):
+                _ = np.asarray(fn(params, dev).boxes)
+            jax.profiler.stop_trace()
+        else:  # dual player+rink megastep (pipeline --show-2d-map path)
+            from hockey_tpu.models.dual import DualDetector
+
+            det = DualDetector(config=config, frame_hw=(1080, 1920))
+            _ = det.detect_batch(stack)  # compile + warm (syncs per call)
+            jax.profiler.start_trace(trace_dir)
+            for _ in range(args.reps):
+                _ = det.detect_batch(stack)
+            jax.profiler.stop_trace()
+
+    planes, cats = parse_xplane(args.parse_only or trace_dir)
+    if planes is None:
+        out["parse_error"] = "no xplane.pb found in trace dir"
+    else:
+        total = sum(p["total_ps"] for p in planes.values())
+        out["device_planes"] = list(planes)
+        out["device_total_ms"] = round(total / 1e9, 3)
+        top = sorted((cats or {}).items(), key=lambda kv: -kv[1])[:12]
+        out["top_ops"] = [
+            {"op": k, "ms": round(v / 1e9, 3),
+             "pct": round(100.0 * v / max(total, 1), 1)}
+            for k, v in top]
     line = json.dumps(out)
     print(line[:2000])
+    name = ("profile_trace.json" if args.program == "detect"
+            else f"profile_trace_{args.program}.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "logs", "profile_trace.json"), "w") as f:
+                           "logs", name), "w") as f:
         f.write(line + "\n")
-    print(f"trace dir: {args.trace_dir}")
+    print(f"trace dir: {args.parse_only or trace_dir}")
     return 0
 
 
