@@ -90,7 +90,7 @@ def parse_xplane(trace_dir: str):
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--program", type=str, default="detect",
-                   choices=["detect", "dual"])
+                   choices=["detect", "fused", "dual"])
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--trace-dir", type=str, default=None)
@@ -136,6 +136,36 @@ def main() -> int:
             jax.profiler.start_trace(trace_dir)
             for _ in range(args.reps):
                 _ = np.asarray(fn(params, dev).boxes)
+            jax.profiler.stop_trace()
+        elif args.program == "fused":
+            # the e2e pipeline's actual device program: detect + team
+            # features + device ByteTrack scan in ONE jitted call
+            # (models/detector.py detect_track_batch) — the suspect for
+            # the round-2 -> round-4 e2e_compute regression
+            from hockey_tpu.models.detector import Detector
+            from hockey_tpu.tracking.device_tracker import DeviceByteTrack
+
+            det = Detector("hockey-player-detection", config,
+                           frame_hw=(1080, 1920), with_team_features=True)
+            tr = DeviceByteTrack(
+                capacity=config.max_tracks,
+                track_activation_threshold=config.track_activation_threshold,
+                lost_track_buffer=config.lost_track_buffer,
+                minimum_matching_threshold=config.minimum_matching_threshold,
+                frame_rate=config.frame_rate,
+                minimum_consecutive_frames=config.minimum_consecutive_frames,
+                duplicate_kill_iomin=config.duplicate_kill_iomin,
+                lost_dup_kill_iomin=config.lost_dup_kill_iomin,
+            )
+            dev = jnp.asarray(stack)
+            r = det.detect_track_batch(dev, tr.state)
+            _ = np.asarray(r[0].boxes)  # compile + warm
+            tr.reset()
+            jax.profiler.start_trace(trace_dir)
+            for _ in range(args.reps):
+                r = det.detect_track_batch(dev, tr.state)
+                tr.state = r[-1]
+                _ = np.asarray(r[0].boxes)
             jax.profiler.stop_trace()
         else:  # dual player+rink megastep (pipeline --show-2d-map path)
             from hockey_tpu.models.dual import DualDetector
