@@ -130,8 +130,9 @@ def main() -> int:
                "pck": round(float(np.mean(v["pck"])), 4),
                "n": len(v["err"])} for k, v in cases.items()}
     print(json.dumps(out))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "logs", "diag_rink_b.json"), "w") as f:
+    with open(os.path.join(os.environ.get("HOCKEY_E2E_LOGS")
+                           or os.path.join(os.path.dirname(
+                               os.path.abspath(__file__)), "..", "logs"), "diag_rink_b.json"), "w") as f:
         f.write(json.dumps(out) + "\n")
     return 0
 

@@ -204,8 +204,9 @@ def main() -> int:
         # checkpoints write their own file (artifact discipline,
         # VERDICT round-3 "weak #2")
         name = name.replace(".json", "_candidate.json")
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "logs", name), "w") as f:
+    with open(os.path.join(os.environ.get("HOCKEY_E2E_LOGS")
+                           or os.path.join(os.path.dirname(
+                               os.path.abspath(__file__)), "..", "logs"), name), "w") as f:
         f.write(line + "\n")
     return 0
 

@@ -239,8 +239,9 @@ def main() -> int:
         name = name.replace(".json", "_candidate.json")
     if args.player_demote:
         name = name.replace(".json", "_demote.json")
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "logs", name), "w") as f:
+    with open(os.path.join(os.environ.get("HOCKEY_E2E_LOGS")
+                           or os.path.join(os.path.dirname(
+                               os.path.abspath(__file__)), "..", "logs"), name), "w") as f:
         f.write(line + "\n")
     return 0
 

@@ -245,8 +245,9 @@ def main() -> int:
     if args.player_checkpoint:  # keep shipped-weights artifacts pristine
         name = name.replace(".json", "_candidate.json")
     print(line)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "logs", name), "w") as f:
+    with open(os.path.join(os.environ.get("HOCKEY_E2E_LOGS")
+                           or os.path.join(os.path.dirname(
+                               os.path.abspath(__file__)), "..", "logs"), name), "w") as f:
         f.write(line + "\n")
     return 0
 

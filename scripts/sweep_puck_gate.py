@@ -156,8 +156,9 @@ def main() -> int:
     print(line)
     name = ("puck_gate_sweep.json" if args.generator == "a"
             else "puck_gate_sweep_b.json")
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "logs", name), "w") as f:
+    with open(os.path.join(os.environ.get("HOCKEY_E2E_LOGS")
+                           or os.path.join(os.path.dirname(
+                               os.path.abspath(__file__)), "..", "logs"), name), "w") as f:
         f.write(line + "\n")
     return 0
 
