@@ -98,7 +98,7 @@ class TestShippedRinkPoseModel:
         acc = PoseEvalAccumulator()
         # 24 scenes, not 6: per-view PCK ranges 0.17-1.0 on hard views
         # (measured on the shipped rink_s_w_tpu: 6-scene probe 0.645 vs
-        # 0.838 over 24 at this seed, 0.885 over the 200-image val pool,
+        # 0.838 over 24 at this seed, 0.886 over the 200-image val pool,
         # logs/val_rink_shipped.json) — a 6-scene sample gates on view
         # luck, not model quality. Deterministic rendering + CPU
         # inference makes the 24-scene number exactly reproducible.
