@@ -77,16 +77,27 @@ def build_dual_fn(
 
         team_feats = None
         if with_team_features:
-            from ..ops.crop_resize import crop_and_resize
+            # same implementation as the fused detect path
+            # (detector.py): crops from a 4x-downscaled frame via
+            # interpolation matmuls (MXU). The previous full-resolution
+            # f32 gather was the dual program's hot spot — color
+            # statistics don't need 1080p crops (round-5 dual_fps fix).
+            from ..ops.crop_resize import crop_and_resize_mm
+            from ..ops.letterbox import resize_batch
             from ..teams.base import CROP_H, CROP_W
             from ..teams.features import color_prior_masks, segmentation_features
 
-            def feats_one(frame, bx):
-                crops = crop_and_resize(frame.astype(jnp.float32), bx,
-                                        (CROP_H, CROP_W))
+            ds = 4
+            small = resize_batch(frames, (h // ds, w // ds), jnp.float32)
+
+            def feats_one(frame_small, bx):
+                crops = crop_and_resize_mm(frame_small, bx / ds,
+                                           (CROP_H, CROP_W))
                 return segmentation_features(crops, color_prior_masks(crops))
 
-            team_feats = jax.vmap(feats_one)(frames, det.boxes)
+            # lax.map over frames keeps crop buffers at 1/B peak memory
+            team_feats = jax.lax.map(
+                lambda fb: feats_one(fb[0], fb[1]), (small, det.boxes))
 
         # --- rink branch (best pose instance's keypoints), at its own
         # training resolution
