@@ -65,6 +65,36 @@ timeit("dual_no_feats", lambda: det_dnf.detect_batch(dev))
 det_d = DualDetector(config=config, frame_hw=(1080, 1920))
 timeit("dual_full", lambda: det_d.detect_batch(dev))
 
+# 5. fused detect+track: easy vs hard content at the same shapes.
+# Round-2 measured the fused e2e megastep at 125 ms/batch-128; round-4
+# at 235 ms — but round 4 also switched the bench clip to hard scenes
+# (more actors => more auction while_loop rounds per tracker step).
+# This isolates content-driven iteration cost from the added
+# containment-NMS / duplicate-kill ops.
+from hockey_tpu.tracking.device_tracker import DeviceByteTrack
+det_t = Detector("hockey-player-detection", config,
+                 frame_hw=(1080, 1920), with_team_features=True)
+def mk_tracker():
+    return DeviceByteTrack(
+        capacity=config.max_tracks,
+        track_activation_threshold=config.track_activation_threshold,
+        lost_track_buffer=config.lost_track_buffer,
+        minimum_matching_threshold=config.minimum_matching_threshold,
+        frame_rate=config.frame_rate,
+        minimum_consecutive_frames=config.minimum_consecutive_frames,
+        duplicate_kill_iomin=config.duplicate_kill_iomin,
+        lost_dup_kill_iomin=config.lost_dup_kill_iomin,
+    )
+easy = jnp.asarray(np.full((32, 1080, 1920, 3), 220, np.uint8))
+_ = np.asarray(easy[0, 0, 0, 0])
+for name, batch_dev in (("fused_hard", dev), ("fused_easy", easy)):
+    tr = mk_tracker()
+    def run(b=batch_dev, t=tr):
+        r = det_t.detect_track_batch(b, t.state)
+        t.state = r[-1]
+        return np.asarray(r[0].boxes)
+    timeit(name, run)
+
 with open("logs/dual_ablation.json", "w") as f:
     f.write(json.dumps(out) + "\n")
 print(json.dumps(out))
