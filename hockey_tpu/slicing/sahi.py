@@ -140,19 +140,20 @@ class PuckTracker:
     history for trajectory smoothing')."""
 
     # gating constants (px / px-per-frame units at frame resolution).
-    # GATE_BASE comes from the measured operating-point sweep
-    # (scripts/sweep_puck_gate.py, logs/puck_gate_sweep.json): across the
+    # GATE_BASE and PEND_SNAP come from the round-5 operating-point sweep
+    # with the shipped TPU-trained puck model (scripts/sweep_puck_gate.py,
+    # logs/puck_gate_sweep[_b].json, gt-scaled hit radii): across the
     # {PEND_SNAP, GATE_BASE, COAST_FRAMES} grid replayed on one cached
-    # detection pass, 42 px is the max-recall point that keeps
-    # precision 1.0 (recall 0.5625 -> 0.5938, trajectory MAE
-    # 5.55 -> 2.28 px on the sweep clip); recall beyond ~0.6 is NOT
-    # recoverable by gate knobs alone — the limiter is raw detector
-    # recall (0.70), a training problem, not a gating one.
-    GATE_BASE = 42.0    # lock gate radius around the predicted position
+    # detection pass, PEND_SNAP=2/GATE 28 dominates the old 3/42 in-dist
+    # (recall 0.781 -> 0.813 at precision 1.0, MAE 1.96 -> 1.44 px) and
+    # trades OOD precision 1.0 -> 0.83 for recall 0.567 -> 0.80
+    # (generator B). PEND_SNAP=1 collapses OOD (precision 0.25) and is
+    # rejected. Decision logged in COMPAT.md #31.
+    GATE_BASE = 28.0    # lock gate radius around the predicted position
     GATE_VEL = 3.0      # gate growth per px/frame of estimated speed
     GATE_MISS = 6.0     # gate growth per coasted (missed) frame
     PEND_RADIUS = 48.0  # spatial consistency radius for pending evidence
-    PEND_SNAP = 3       # consecutive consistent far fires to re-acquire
+    PEND_SNAP = 2       # consecutive consistent far fires to re-acquire
     PEND_MARGIN = 0.10  # score margin a far fire needs over the gated pick
     COAST_FRAMES = 5    # misses to keep EMITTING the extrapolated position
                         # (state persists to max_gap for re-acquisition, but

@@ -358,7 +358,14 @@ class SyntheticRinkDataset:
         L, W = d.length, d.width
         tx = rng.uniform(0.10 * L, 0.90 * L)    # window center on the ice
         ty = rng.uniform(0.20 * W, 0.80 * W)
-        f = rng.uniform(0.42, 1.30)             # visible fraction of length
+        # visible fraction down to 0.18: game cameras zoom into ~40-80 ft
+        # action windows. Round 5 measured the 0.42-floor family's PCK on
+        # rich renders collapsing 0.37 -> 0.012 the moment f drops below
+        # the floor (f 0.25-0.42 probe) — and the generator-B e2e camera
+        # (isotropic zoom 0.9-1.3 at 40-120 ft) sits at f ~0.18-0.68, so
+        # half its views were out of support (e2e-B family PCK 0.17,
+        # scripts/diag_rink_e2eb.py)
+        f = rng.uniform(0.18, 1.30)             # visible fraction of length
         # elevation to 80 deg and slant to 320 ft: broadcast catwalk
         # cameras sit high and steep. Round 5 measured the shipped 7-45
         # deg family collapsing on steep whole-sheet views (generator B's
@@ -366,7 +373,9 @@ class SyntheticRinkDataset:
         # ~32-79 deg look-down — PCK 0.159 on B-geometry sterile renders
         # vs 0.68 on training geometry, logs/diag_rink_b.json)
         elev = np.deg2rad(rng.uniform(7.0, 80.0))
-        azim = np.deg2rad(rng.uniform(-30.0, 30.0))  # off-perpendicular
+        # +-50 deg: a board-side camera aimed 0.25L off-center at 40 ft
+        # stands ~51 deg off-perpendicular (generator B's look-at family)
+        azim = np.deg2rad(rng.uniform(-50.0, 50.0))
         roll = np.deg2rad(rng.uniform(-7.0, 7.0))
         r = rng.uniform(45.0, 320.0)            # slant distance (ft)
         cam = np.asarray([tx + r * np.cos(elev) * np.sin(azim),

@@ -49,9 +49,10 @@ STRUCTURAL_INT = {
     56,                # rink keypoint count
     8, 60,             # puck drawn-size family bounds (px)
     384, 512, 640, 960, 1280,  # model operating resolutions
-    30,                # COMPAT entry number citations (e.g. COMPAT #30)
     3, 12,             # calibration tier gates in ft (COMPAT #25 config)
 }
+# cross-document references, not measurements: "COMPAT #31"
+COMPAT_REF_RE = re.compile(r"COMPAT\s*#\d+")
 STRUCTURAL_LITERAL = {"0.690", "0.69"}
 
 
@@ -104,6 +105,7 @@ def test_readme_numbers_match_artifacts(lineno, line, arts):
         with open(path) as f:
             pool.extend(_leaves(json.load(f)))
     stripped = ART_RE.sub(" ", line)  # filenames out of the number scan
+    stripped = COMPAT_REF_RE.sub(" ", stripped)
     bad = [n for n in NUM_RE.findall(stripped)
            if not ("." not in n and int(n) in STRUCTURAL_INT)
            and n not in STRUCTURAL_LITERAL
