@@ -133,6 +133,7 @@ def main() -> int:
     pipe_err = []         # same through the pipeline's own tracked feet
     per_frame_cal = []    # for cut-recovery analysis
     tiers = {"fine": 0, "coarse": 0}
+    tier_errs = {"fine": [], "coarse": []}  # calib err split by active tier
     t = 0
     for _ in proc.process_video(clip):
         gt = labels[t]
@@ -152,6 +153,8 @@ def main() -> int:
         errs = np.linalg.norm(rink_pred - gt["rink_xy"], axis=1)
         calib_err.append(float(errs.mean()))
         per_frame_cal.append(float(errs.mean()))
+        if cur_tier in tier_errs:
+            tier_errs[cur_tier].append(float(errs.mean()))
 
         res = proc.last_frame_result
         if res is not None and len(res["boxes"]):
@@ -192,6 +195,13 @@ def main() -> int:
         "cut_recovery_frames": recover,
         "fine_frames": tiers["fine"],
         "coarse_frames": tiers["coarse"],
+        # per-tier calibration error: a fine-tier frame claims <= pass_ft
+        # internal consistency, but an OOD pose model can be
+        # self-consistently WRONG — this exposes that failure mode
+        "fine_err_ft_mean": round(float(np.mean(tier_errs["fine"])), 2)
+        if tier_errs["fine"] else None,
+        "coarse_err_ft_mean": round(float(np.mean(tier_errs["coarse"])), 2)
+        if tier_errs["coarse"] else None,
         "generator": args.generator,
     }
     line = json.dumps(out)
