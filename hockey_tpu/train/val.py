@@ -25,7 +25,8 @@ def main(argv=None) -> int:
                    help="max images to evaluate")
     p.add_argument("--dataset", type=str, default="synthetic",
                    choices=["synthetic", "hard", "hard-puck",
-                            "hard-b", "hard-puck-b", "rink-b"],
+                            "hard-b", "hard-puck-b", "rink-b",
+                            "rink-rich"],
                    help="synthetic source when --images is absent; 'hard' "
                         "evaluates on held-out broadcast-like scenes "
                         "(train/scenes.py, the training loop's val split); "
@@ -87,6 +88,13 @@ def main(argv=None) -> int:
             from .scenes_b import SyntheticRinkDatasetB
 
             ds = SyntheticRinkDatasetB(imgsz=args.imgsz, seed=args.seed)
+        elif args.dataset == "rink-rich":
+            # held-out slice of the ACTUAL pose training family (rich
+            # broadcast/pinhole/trapezoid camera mixture + clutter) —
+            # the default sterile-trapezoid val reads ~0.95 on models
+            # that score ~0.3 on their own training family (round 5)
+            ds = SyntheticRinkDataset(imgsz=args.imgsz,
+                                      seed=args.seed + 7777, rich=True)
         else:
             ds = SyntheticRinkDataset(imgsz=args.imgsz, seed=args.seed)
         acc = PoseEvalAccumulator()

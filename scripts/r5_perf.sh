@@ -11,14 +11,14 @@ set -o pipefail
 echo "=== r5 perf start: $(date)"
 
 echo "=== trace: detect (batch 32)"
-timeout -k 20 1800 python scripts/profile_trace.py --program detect --batch 32
+timeout -k 20 1200 python scripts/profile_trace.py --program detect --batch 32
 echo "=== trace: fused detect+track (batch 32)"
-timeout -k 20 1800 python scripts/profile_trace.py --program fused --batch 32
+timeout -k 20 1200 python scripts/profile_trace.py --program fused --batch 32
 echo "=== trace: dual (batch 32)"
-timeout -k 20 3600 python scripts/profile_trace.py --program dual --batch 32
+timeout -k 20 1800 python scripts/profile_trace.py --program dual --batch 32
 
 echo "=== dual ablation (batch 32, same frames)"
-timeout -k 20 3600 python - <<'PYEOF'
+timeout -k 20 2400 python - <<'PYEOF'
 import time, json
 import numpy as np
 import jax.numpy as jnp
@@ -101,6 +101,6 @@ print(json.dumps(out))
 PYEOF
 
 echo "=== bench.py (BENCH_r05 preview)"
-timeout -k 20 3600 python bench.py | tail -1
+timeout -k 20 2400 python bench.py | tail -1
 
 echo "=== r5 perf done: $(date)"

@@ -426,3 +426,30 @@ class TestSyntheticRinkDataset:
         assert min(vis_counts) < 34, vis_counts
         # ...while the family still contains (near-)full-rink views
         assert max(vis_counts) >= 50, vis_counts
+
+    def test_broadcast_camera_family(self):
+        """The rich mixture's isotropic look-at family (round 5,
+        COMPAT #31): valid finite homography, cheirality mask, and
+        square-pixel intrinsics — density concentrated on the geometry
+        deployment cameras actually produce."""
+        from hockey_tpu.homography.ransac import project
+        from hockey_tpu.train.data import SyntheticRinkDataset
+
+        ds = SyntheticRinkDataset(imgsz=256, rich=True)
+        rng = np.random.default_rng(7)
+        for _ in range(8):
+            h, front = ds._broadcast_camera(rng, 256)
+            assert h.shape == (3, 3) and np.isfinite(h).all()
+            assert front.shape == (56,) and front.dtype == bool
+            pts = project(h, ds.table.astype(np.float64))
+            assert np.isfinite(pts[front]).all()
+        # rich items draw from all three camera branches and keep the
+        # label contract
+        vis_counts = []
+        for i in range(24):
+            item = ds.load(i)
+            vis = item["keypoints"][0, :, 2] > 0.5
+            pts = item["keypoints"][0, vis, :2]
+            assert (pts >= 0).all() and (pts < 256).all()
+            vis_counts.append(int(vis.sum()))
+        assert max(vis_counts) >= 20, vis_counts
