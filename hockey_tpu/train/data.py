@@ -434,7 +434,7 @@ class SyntheticRinkDataset:
         probes are narrower: the e2e sequence harnesses run isotropic
         position/look-at cameras (train/scenes_b.py:51-96) that the
         hull-shaped pinhole family covers only sparsely. This family
-        concentrates density on the deployment geometry; COMPAT #31."""
+        concentrates density on the deployment geometry; COMPAT #32."""
         d = self.rink
         L, W = d.length, d.width
         tx = rng.uniform(0.12 * L, 0.88 * L)    # aim point on the ice

@@ -23,7 +23,7 @@ model, while the e2e-B sequence geometry is the EASIER part of the
 hull. The sterile-trapezoid default val (train/val.py --dataset
 synthetic) reads 0.95 on the same checkpoint and cannot see any of
 this. Fix: deployment-matched camera mixture (data.py:_broadcast_camera,
-COMPAT #31) + `--dataset rink-rich` val.
+COMPAT #32) + `--dataset rink-rich` val.
 
     python scripts/diag_rink_family.py --checkpoint banked/rink_s_ext2.msgpack --cpu
 """

@@ -429,7 +429,7 @@ class TestSyntheticRinkDataset:
 
     def test_broadcast_camera_family(self):
         """The rich mixture's isotropic look-at family (round 5,
-        COMPAT #31): valid finite homography, cheirality mask, and
+        COMPAT #32): valid finite homography, cheirality mask, and
         square-pixel intrinsics — density concentrated on the geometry
         deployment cameras actually produce."""
         from hockey_tpu.homography.ransac import project
