@@ -95,9 +95,9 @@ MODEL_ZOO = {
     "hockey-player-detection": YoloConfig("x", num_classes=2),
     # s-scale since round 3: 6x smaller than the round-2 x-scale and it
     # kills the dual (player+rink) megastep's 20-minute XLA compile wall
-    # (COMPAT #14b). The SHIPPED checkpoint is the round-4 window-camera
-    # TPU retrain at 512 (rink_s_w_tpu: PCK 0.886 over the 200-image val
-    # pool, logs/val_rink_shipped.json) — gated in tests/test_quality.py.
+    # (COMPAT #14b). The SHIPPED checkpoint is the round-5 broadcast
+    # camera-family retrain at 512 (rink_s_ext lineage; current numbers
+    # in logs/val_rink_shipped.json) — gated in tests/test_quality.py.
     "hockey-detection": YoloConfig("s", num_classes=1, num_keypoints=56),
     "hockey-puck-detection": YoloConfig("s", num_classes=1),
 }
